@@ -119,12 +119,19 @@ class TestNullspaceOracle:
 def test_pyramid_calib():
     from nalo_slam_tpu.geometry import PyramidCalib
 
+    # 640x480 stops once the level has <= 5000 px (80x60): 4 levels,
+    # exactly the reference rule (globalCalib.cpp:48-53)
     c = PyramidCalib.make(640, 480, 500.0, 500.0, 320.0, 240.0)
-    assert c.levels == 6
-    assert c.w == [640, 320, 160, 80, 40, 20]
+    assert c.levels == 4
+    assert c.w == [640, 320, 160, 80]
     np.testing.assert_allclose(c.fx[1], 250.0)
     np.testing.assert_allclose(c.cx[1], (320.0 + 0.5) / 2 - 0.5)
     # K @ Ki == I
     np.testing.assert_allclose(
-        np.einsum("lij,ljk->lik", c.K, c.Ki), np.broadcast_to(np.eye(3), (6, 3, 3)), atol=1e-12
+        np.einsum("lij,ljk->lik", c.K, c.Ki),
+        np.broadcast_to(np.eye(3), (c.levels, 3, 3)),
+        atol=1e-12,
     )
+    # KITTI-like: 1216x368 -> 5 levels (76x23 is odd, stops)
+    c2 = PyramidCalib.make(1216, 368, 718.856, 718.856, 607.19, 185.21)
+    assert c2.levels == 5
