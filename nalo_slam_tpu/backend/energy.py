@@ -1,0 +1,738 @@
+"""Sliding-window energy functional: accumulation, solve, marginalization.
+
+Host orchestration of the BA rebuild of EnergyFunctional
+(reference: src/OptimizationBackend/EnergyFunctional.cpp).  The per-residual
+heavy lifting runs in ba_kernels on device; this module owns
+
+* the window state (FrameState list + PointArrays slots + device image stack),
+* adjoint transport of relative Jacobians to absolute states
+  (setAdjointsF :46-106),
+* the (4+8F)^2 stitch in float64 (AccumulatedTopHessian stitchDouble :171-240,
+  AccumulatedSCHessian stitchDouble :157-225) -- mirroring the reference's
+  float-accumulate / double-stitch precision split,
+* the GN solve with fixed lambda, Jacobi scaling and nullspace
+  orthogonalization (solveSystemF :776-914, orthogonalize :719-773),
+* frame marginalization via Schur complement on HM/bM (:498-610) and point
+  marginalization into HM/bM (:615-676),
+* the optimize() loop semantics of FullSystemOptimize.cpp:398-575 under the
+  default setting_forceAceptStep=true / SOLVER_FIX_LAMBDA configuration.
+
+All states are REAL units; priors are converted from the reference's scaled
+units in window.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import CPARS, SCALE_A, SCALE_B, SCALE_XI_TRANS, Settings
+from ..geometry import SE3
+from . import ba_kernels as K
+from .window import (RES_IN, RES_NONE, RES_OOB, RES_OUTLIER, FrameState,
+                     PointArrays, _S2_C, _S2_F)
+
+_J_FIELDS = ("Jpdxi", "Jpdc", "Jpdd", "JIdx", "JabF", "resF",
+             "JIdx2", "JabJIdx", "Jab2")
+
+
+def _aff_from_to(exp_f, exp_t, a_f, b_f, a_t, b_t):
+    ef = exp_f if exp_f != 0 else 1.0
+    et = exp_t if exp_t != 0 else 1.0
+    a = np.exp(a_t - a_f) * et / ef
+    return np.array([a, b_t - a * b_f])
+
+
+@jax.jit
+def _merge_jstore(store, new, upd):
+    out = {}
+    for k in _J_FIELDS:
+        extra = (1,) * (new[k].ndim - 2)
+        out[k] = jnp.where(upd.reshape(upd.shape + extra), new[k], store[k])
+    out["res_toZero"] = store["res_toZero"]
+    return out
+
+
+@jax.jit
+def _fix_linearization(store, delta_pair, p_host, c_delta, p_delta, mask):
+    """res_toZero = resF - J*delta (EnergyFunctionalStructs.cpp:89-115)."""
+    dp = delta_pair[p_host]
+    Jp_dx = (
+        jnp.einsum("pfk,pfk->pf", store["Jpdxi"][:, :, 0, :], dp[..., :6])
+        + jnp.einsum("pfk,k->pf", store["Jpdc"][:, :, 0, :], c_delta)
+        + store["Jpdd"][..., 0] * p_delta[:, None]
+    )
+    Jp_dy = (
+        jnp.einsum("pfk,pfk->pf", store["Jpdxi"][:, :, 1, :], dp[..., :6])
+        + jnp.einsum("pfk,k->pf", store["Jpdc"][:, :, 1, :], c_delta)
+        + store["Jpdd"][..., 1] * p_delta[:, None]
+    )
+    rtz = (
+        store["resF"]
+        - store["JIdx"][:, :, 0, :] * Jp_dx[..., None]
+        - store["JIdx"][:, :, 1, :] * Jp_dy[..., None]
+        - store["JabF"][:, :, 0, :] * dp[..., 6:7]
+        - store["JabF"][:, :, 1, :] * dp[..., 7:8]
+    )
+    res_toZero = jnp.where(mask[..., None], rtz, store["res_toZero"])
+    return dict(store, res_toZero=res_toZero)
+
+
+class WindowOptimizer:
+    """The EnergyFunctional + optimize() loop, fixed-slot TPU edition."""
+
+    def __init__(self, settings: Settings, calib_value: np.ndarray, img_hw):
+        self.s = settings
+        self.F = settings.max_window_frames
+        self.P = settings.max_points
+        self.H_img, self.W_img = img_hw
+        self.frames: list[FrameState] = []
+        self.pts = PointArrays(self.P, self.F, settings)
+        self.calib_value = np.asarray(calib_value, np.float64).copy()
+        self.calib_zero = self.calib_value.copy()
+        self.calib_backup = self.calib_value.copy()
+        self.calib_step = np.zeros(CPARS)
+        self.c_prior = np.full(CPARS, settings.initial_calib_hessian) / np.array(
+            [_S2_F, _S2_F, _S2_C, _S2_C]
+        )
+        self.HM = np.zeros((CPARS, CPARS))
+        self.bM = np.zeros(CPARS)
+        self.images = jnp.zeros((self.F, self.H_img, self.W_img, 3), jnp.float32)
+        self.jstore = self._empty_jstore()
+        self.ad_host = np.zeros((self.F, self.F, 8, 8))
+        self.ad_target = np.zeros((self.F, self.F, 8, 8))
+        self.res_in_a = 1
+        self.last_energy = 0.0
+        self.last_nullspaces = []
+
+    # ------------------------------------------------------------------
+    def _empty_jstore(self):
+        P, F = self.P, self.F
+        z = lambda *shape: jnp.zeros(shape, jnp.float32)
+        return dict(
+            Jpdxi=z(P, F, 2, 6), Jpdc=z(P, F, 2, 4), Jpdd=z(P, F, 2),
+            JIdx=z(P, F, 2, 8), JabF=z(P, F, 2, 8), resF=z(P, F, 8),
+            JIdx2=z(P, F, 2, 2), JabJIdx=z(P, F, 2, 2), Jab2=z(P, F, 2, 2),
+            res_toZero=z(P, F, 8),
+        )
+
+    @property
+    def n_frames(self):
+        return len(self.frames)
+
+    # ------------------------------------------------------------------
+    # Window maintenance
+    # ------------------------------------------------------------------
+    def insert_frame(self, fs: FrameState, dI0) -> int:
+        idx = len(self.frames)
+        assert idx < self.F
+        self.frames.append(fs)
+        self.images = self.images.at[idx].set(dI0)
+        self.insert_frame_hm()
+        self.set_adjoints()
+        return idx
+
+    def insert_points(self, host_idx: int, u, v, color, weights, idepth,
+                      energy_th, my_type=None, has_prior=False) -> np.ndarray:
+        n = len(u)
+        slots = self.pts.free_slots(n)
+        if len(slots) < n:
+            n = len(slots)
+        sl = slots[:n]
+        p = self.pts
+        p.active[sl] = True
+        p.host[sl] = host_idx
+        p.u[sl] = u[:n]
+        p.v[sl] = v[:n]
+        p.color[sl] = color[:n]
+        p.weights[sl] = weights[:n]
+        p.idepth[sl] = idepth[:n]
+        p.idepth_zero[sl] = idepth[:n]
+        p.energy_th[sl] = energy_th[:n]
+        p.prior[sl] = self.s.idepth_fix_prior if has_prior else 0.0
+        p.has_depth_prior[sl] = has_prior
+        p.num_good_res[sl] = 0
+        p.max_rel_baseline[sl] = 0
+        p.status[sl] = 0
+        if my_type is not None:
+            p.my_type[sl] = my_type[:n]
+        p.r_exists[sl] = False
+        p.r_state[sl] = RES_NONE
+        p.r_active[sl] = False
+        p.r_linearized[sl] = False
+        return sl
+
+    def add_residuals(self, point_slots, target_idx: int):
+        p = self.pts
+        p.r_exists[point_slots, target_idx] = True
+        p.r_state[point_slots, target_idx] = RES_IN
+        p.r_active[point_slots, target_idx] = False
+        p.r_linearized[point_slots, target_idx] = False
+        p.r_is_new[point_slots, target_idx] = True
+
+    # ------------------------------------------------------------------
+    # Adjoints / deltas / precalc
+    # ------------------------------------------------------------------
+    def set_adjoints(self):
+        """Reference setAdjointsF (:46-106), REAL units (no SCALE factors)."""
+        nf = self.n_frames
+        self.ad_host[:] = 0
+        self.ad_target[:] = 0
+        for h in range(nf):
+            for t in range(nf):
+                host, target = self.frames[h], self.frames[t]
+                h2t = target.worldToCam_evalPT * host.worldToCam_evalPT.inverse()
+                AH = np.eye(8)
+                AT = np.eye(8)
+                AH[:6, :6] = -h2t.adj().T
+                aff = _aff_from_to(
+                    host.ab_exposure, target.ab_exposure,
+                    *host.aff_g2l_0(), *target.aff_g2l_0()
+                )
+                AT[6, 6] = -aff[0]
+                AH[6, 6] = aff[0]
+                AT[7, 7] = -1.0
+                AH[7, 7] = aff[0]
+                self.ad_host[h, t] = AH
+                self.ad_target[h, t] = AT
+
+    def frame_deltas(self):
+        nf = self.n_frames
+        d = np.zeros((self.F, 8))
+        for i, f in enumerate(self.frames):
+            d[i] = f.delta()
+        return d
+
+    def delta_pair(self):
+        """adHTdeltaF (setDeltaF :171-181): (F,F,8) = dh@AH + dt@AT."""
+        d = self.frame_deltas()
+        out = np.zeros((self.F, self.F, 8))
+        nf = self.n_frames
+        for h in range(nf):
+            for t in range(nf):
+                out[h, t] = d[h] @ self.ad_host[h, t] + d[t] @ self.ad_target[h, t]
+        return out
+
+    def c_delta(self):
+        return self.calib_value - self.calib_zero
+
+    def precalc(self):
+        """Per-pair PRE_* arrays (FrameFramePrecalc::set, HessianBlocks.cpp:192-222)."""
+        nf = self.n_frames
+        Fd = self.F
+        R0 = np.zeros((Fd, Fd, 3, 3), np.float32)
+        t0 = np.zeros((Fd, Fd, 3), np.float32)
+        KRKi = np.zeros((Fd, Fd, 3, 3), np.float32)
+        Kt = np.zeros((Fd, Fd, 3), np.float32)
+        aff = np.zeros((Fd, Fd, 2), np.float32)
+        b0 = np.zeros(Fd, np.float32)
+        fx, fy, cx, cy = self.calib_value
+        Km = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+        Ki = np.linalg.inv(Km)
+        for h in range(nf):
+            host = self.frames[h]
+            b0[h] = host.aff_g2l_0()[1]
+            for t in range(nf):
+                target = self.frames[t]
+                l2l0 = target.worldToCam_evalPT * host.worldToCam_evalPT.inverse()
+                R0[h, t] = l2l0.R
+                t0[h, t] = l2l0.t
+                l2l = target.PRE_worldToCam * host.PRE_camToWorld
+                KRKi[h, t] = Km @ l2l.R @ Ki
+                Kt[h, t] = Km @ l2l.t
+                aff[h, t] = _aff_from_to(
+                    host.ab_exposure, target.ab_exposure,
+                    *host.aff_g2l(), *target.aff_g2l()
+                )
+        return dict(
+            PRE_R0=jnp.asarray(R0), PRE_t0=jnp.asarray(t0),
+            PRE_KRKi=jnp.asarray(KRKi), PRE_Kt=jnp.asarray(Kt),
+            PRE_aff=jnp.asarray(aff), PRE_b0=jnp.asarray(b0),
+        )
+
+    # ------------------------------------------------------------------
+    # Linearization
+    # ------------------------------------------------------------------
+    def linearize_all(self, fix: bool):
+        """linearizeAll (FullSystemOptimize.cpp:144-211) + applyRes + the
+        frame energy threshold update."""
+        s = self.s
+        p = self.pts
+        pre = self.precalc()
+        f_eth = np.zeros(self.F, np.float32)
+        for i, f in enumerate(self.frames):
+            f_eth[i] = f.frame_energy_th
+        ab_zero = np.array(
+            [0.0 if s.affine_opt_mode_a < 0 else 1.0,
+             0.0 if s.affine_opt_mode_b < 0 else 1.0], np.float32)
+
+        out = K.linearize_residuals(
+            self.images,
+            jnp.asarray(p.u), jnp.asarray(p.v),
+            jnp.asarray(p.idepth), jnp.asarray(p.idepth_zero),
+            jnp.asarray(p.color), jnp.asarray(p.weights),
+            jnp.asarray(p.host), jnp.asarray(p.energy_th),
+            jnp.asarray(p.r_exists), jnp.asarray(p.r_state.astype(np.int32)),
+            **pre,
+            f_energy_th=jnp.asarray(f_eth),
+            calib=jnp.asarray(self.calib_value, jnp.float32),
+            outlier_th_sum=s.outlier_th_sum_component,
+            huber_th=s.huber_th,
+            ab_zero=jnp.asarray(ab_zero),
+        )
+
+        active_set = p.r_exists & ~p.r_linearized  # "activeResiduals"
+        new_state = np.asarray(out["new_state"])
+        energy = np.asarray(out["energy"])
+        energy_raw = np.asarray(out["energy_raw"])
+
+        # frame energy threshold from the newest frame's residuals
+        # (setNewFrameEnergyTH, FullSystemOptimize.cpp:95-143)
+        if self.n_frames > 0:
+            newest = self.n_frames - 1
+            m = active_set[:, newest] & (p.r_state[:, newest] != RES_OOB)
+            vals = energy_raw[:, newest][m]
+            nf_frame = self.frames[newest]
+            if len(vals) == 0:
+                nf_frame.frame_energy_th = 12 * 12 * 8.0
+            else:
+                nth = np.partition(vals, int(s.frame_energy_th_n * len(vals)))[
+                    int(s.frame_energy_th_n * len(vals))
+                ]
+                th = np.sqrt(nth) * s.frame_energy_th_fac_median
+                th = 26.0 * s.frame_energy_th_const_weight + th * (1 - s.frame_energy_th_const_weight)
+                nf_frame.frame_energy_th = float(th * th) * s.overall_energy_th_weight**2
+
+        # apply: state machine (applyRes, Residuals.cpp:306-328)
+        upd = active_set & (p.r_state != RES_OOB)
+        p.r_state = np.where(upd, new_state, p.r_state).astype(np.int8)
+        p.r_active = np.where(active_set, p.r_state == RES_IN, p.r_active)
+        p.r_energy = np.where(upd, energy, p.r_energy)
+
+        # merge fresh Jacobians for residuals that are IN (takeDataF)
+        upd_j = jnp.asarray(active_set & (p.r_state == RES_IN))
+        self.jstore = _merge_jstore(self.jstore, out, upd_j)
+
+        # numGoodResiduals & maxRelBaseline for new residuals (:64-80)
+        isnew = p.r_is_new & upd & (p.r_state == RES_IN)
+        if isnew.any():
+            p.num_good_res += isnew.sum(1).astype(np.int32)
+        self._last_center_proj = np.asarray(out["center_proj"])
+
+        self.last_energy = float(energy[active_set].sum())
+
+        removed = None
+        if fix:
+            # fixLinearizationF for active residuals (store res_toZero)
+            mask = jnp.asarray(active_set & (p.r_state == RES_IN))
+            self.jstore = _fix_linearization(
+                self.jstore, jnp.asarray(self.delta_pair(), jnp.float32),
+                jnp.asarray(p.host), jnp.asarray(self.c_delta(), jnp.float32),
+                jnp.asarray(p.idepth - p.idepth_zero), mask,
+            )
+            p.r_linearized = p.r_linearized | (active_set & (p.r_state == RES_IN))
+            # drop residuals that did not make it (toRemove, :172-206)
+            bad = active_set & (p.r_state != RES_IN)
+            removed = bad
+            p.r_exists[bad] = False
+            p.r_active[bad] = False
+            p.r_state[bad] = RES_NONE
+            p.r_is_new[active_set] = False
+        return self.last_energy, removed
+
+    # ------------------------------------------------------------------
+    # Accumulation + solve
+    # ------------------------------------------------------------------
+    def _accumulate(self, mode: int, subset=None):
+        """mode 0 = active, 1 = linearized (FEJ-shifted), 2 = marginalize."""
+        p = self.pts
+        if mode == 0:
+            mask = p.r_exists & ~p.r_linearized & p.r_active
+            res_approx = self.jstore["resF"]
+        elif mode == 1:
+            mask = p.r_exists & p.r_linearized & p.r_active
+            res_approx = K.res_approx_mode1(
+                self.jstore, jnp.asarray(self.delta_pair(), jnp.float32),
+                jnp.asarray(p.host), jnp.asarray(self.c_delta(), jnp.float32),
+                jnp.asarray(p.idepth - p.idepth_zero),
+            )
+        else:
+            mask = p.r_exists & p.r_active
+            res_approx = self.jstore["res_toZero"]
+        if subset is not None:
+            mask = mask & subset[:, None]
+        acc, nres, Hdd, bd, Hcd = K.accumulate_top(
+            self.jstore, res_approx, jnp.asarray(mask), jnp.asarray(p.host), self.F
+        )
+        return (np.asarray(acc, np.float64), int(nres),
+                np.asarray(Hdd, np.float64), np.asarray(bd, np.float64),
+                np.asarray(Hcd, np.float64), mask)
+
+    def _stitch_top(self, acc, use_prior: bool):
+        """stitchDouble (AccumulatedTopHessian.cpp:171-240)."""
+        nf = self.n_frames
+        n = CPARS + nf * 8
+        H = np.zeros((n, n))
+        b = np.zeros(n)
+        for h in range(nf):
+            for t in range(nf):
+                a = acc[h * self.F + t]
+                hI, tI = CPARS + h * 8, CPARS + t * 8
+                accH8 = a[4:12, 4:12]
+                accH8C = a[4:12, 0:4]
+                AH, AT = self.ad_host[h, t], self.ad_target[h, t]
+                H[hI : hI + 8, hI : hI + 8] += AH @ accH8 @ AH.T
+                H[tI : tI + 8, tI : tI + 8] += AT @ accH8 @ AT.T
+                H[hI : hI + 8, tI : tI + 8] += AH @ accH8 @ AT.T
+                H[hI : hI + 8, 0:CPARS] += AH @ accH8C
+                H[tI : tI + 8, 0:CPARS] += AT @ accH8C
+                H[0:CPARS, 0:CPARS] += a[0:4, 0:4]
+                b[hI : hI + 8] += AH @ a[4:12, 12]
+                b[tI : tI + 8] += AT @ a[4:12, 12]
+                b[0:CPARS] += a[0:4, 12]
+        # symmetrize/copy transposed parts
+        for h in range(nf):
+            hI = CPARS + h * 8
+            H[0:CPARS, hI : hI + 8] = H[hI : hI + 8, 0:CPARS].T
+            for t in range(h + 1, nf):
+                tI = CPARS + t * 8
+                H[hI : hI + 8, tI : tI + 8] += H[tI : tI + 8, hI : hI + 8].T
+                H[tI : tI + 8, hI : hI + 8] = H[hI : hI + 8, tI : tI + 8].T
+        if use_prior:
+            H[np.arange(CPARS), np.arange(CPARS)] += self.c_prior
+            b[0:CPARS] += self.c_prior * self.c_delta()
+            for h in range(nf):
+                hI = CPARS + h * 8
+                pr = self.frames[h].prior()
+                H[np.arange(hI, hI + 8), np.arange(hI, hI + 8)] += pr
+                b[hI : hI + 8] += pr * self.frames[h].delta_prior()
+        return H, b
+
+    def _schur(self, maskA, maskL, HddA, bdA, HcdA, HddL, bdL, HcdL,
+               shift_prior_to_zero: bool, subset=None):
+        """Per-point Schur quantities + device pair accumulation + f64 stitch
+        (AccumulatedSCHessian.cpp)."""
+        p = self.pts
+        mask = np.asarray(maskA) | np.asarray(maskL)
+        if subset is not None:
+            mask = mask & subset[:, None]
+        ngood = mask.sum(1)
+        Hdd = HddA + HddL + p.prior.astype(np.float64)
+        Hdd = np.maximum(Hdd, 1e-10)
+        HdiF = np.where(ngood > 0, 1.0 / Hdd, 0.0)
+        p.idepth_hessian = np.where(ngood > 0, Hdd, 0.0).astype(np.float32)
+        bdSum = bdA + bdL
+        if shift_prior_to_zero:
+            bdSum = bdSum + p.prior * (p.idepth - p.idepth_zero)
+        bdSum = np.where(ngood > 0, bdSum, 0.0)
+        Hcd = HcdA + HcdL
+
+        JpJdF = K.compute_JpJdF(self.jstore, self.F)
+        accD, accE, accEB, accHcc, accbc = K.accumulate_sc(
+            JpJdF, jnp.asarray(Hcd, jnp.float32), jnp.asarray(bdSum, jnp.float32),
+            jnp.asarray(HdiF, jnp.float32), jnp.asarray(mask),
+            jnp.asarray(p.host), self.F,
+        )
+        accD = np.asarray(accD, np.float64)
+        accE = np.asarray(accE, np.float64)
+        accEB = np.asarray(accEB, np.float64)
+
+        nf = self.n_frames
+        n = CPARS + nf * 8
+        H = np.zeros((n, n))
+        b = np.zeros(n)
+        for i in range(nf):
+            for j in range(nf):
+                iI, jI = CPARS + i * 8, CPARS + j * 8
+                AHij, ATij = self.ad_host[i, j], self.ad_target[i, j]
+                Hpc = accE[i, j]
+                bp = accEB[i, j]
+                H[iI : iI + 8, 0:CPARS] += AHij @ Hpc
+                H[jI : jI + 8, 0:CPARS] += ATij @ Hpc
+                b[iI : iI + 8] += AHij @ bp
+                b[jI : jI + 8] += ATij @ bp
+                for k in range(nf):
+                    kI = CPARS + k * 8
+                    accDM = accD[i, j, k]
+                    AHik, ATik = self.ad_host[i, k], self.ad_target[i, k]
+                    H[iI : iI + 8, iI : iI + 8] += AHij @ accDM @ AHik.T
+                    H[jI : jI + 8, kI : kI + 8] += ATij @ accDM @ ATik.T
+                    H[jI : jI + 8, iI : iI + 8] += ATij @ accDM @ AHik.T
+                    H[iI : iI + 8, kI : kI + 8] += AHij @ accDM @ ATik.T
+        H[0:CPARS, 0:CPARS] += np.asarray(accHcc, np.float64)
+        b[0:CPARS] += np.asarray(accbc, np.float64)
+        for h in range(nf):
+            hI = CPARS + h * 8
+            H[0:CPARS, hI : hI + 8] = H[hI : hI + 8, 0:CPARS].T
+        return H, b, HdiF, bdSum, Hcd, ngood, mask
+
+    def stitched_delta(self):
+        nf = self.n_frames
+        d = np.zeros(CPARS + nf * 8)
+        d[:CPARS] = self.c_delta()
+        fd = self.frame_deltas()
+        for i in range(nf):
+            d[CPARS + 8 * i : CPARS + 8 * i + 8] = fd[i]
+        return d
+
+    def nullspaces(self):
+        """getNullspaces (FullSystemOptimize.cpp:658-712), real units."""
+        nf = self.n_frames
+        n = CPARS + nf * 8
+        ns = []
+        for i in range(6):
+            v = np.zeros(n)
+            for k, f in enumerate(self.frames):
+                v[CPARS + k * 8 : CPARS + k * 8 + 6] = f.nullspaces_pose[:, i]
+            ns.append(v)
+        v = np.zeros(n)
+        for k, f in enumerate(self.frames):
+            v[CPARS + k * 8 : CPARS + k * 8 + 6] = f.nullspaces_scale
+        ns.append(v)
+        self.last_nullspaces = ns
+        return ns
+
+    def orthogonalize(self, x=None, H=None):
+        """Project out pose+scale gauge directions (:719-773)."""
+        ns = self.last_nullspaces or self.nullspaces()
+        N = np.stack([v / (np.linalg.norm(v) + 1e-30) for v in ns], axis=1)
+        U, S, Vt = np.linalg.svd(N, full_matrices=False)
+        Sinv = np.where(S > self.s.solver_mode_delta * S.max(), 1.0 / S, 0.0)
+        Npi = U * Sinv[None, :] @ Vt
+        NNpiT = N @ Npi.T
+        NNpiTS = 0.5 * (NNpiT + NNpiT.T)
+        if x is not None:
+            x = x - NNpiTS @ x
+        if H is not None:
+            H = H - NNpiTS @ H @ NNpiTS
+        return x, H
+
+    def solve_system(self, iteration: int, lam: float):
+        """solveSystemF default path (:776-914)."""
+        s = self.s
+        self.nullspaces()
+        accA, nresA, HddA, bdA, HcdA, maskA = self._accumulate(0)
+        accL, nresL, HddL, bdL, HcdL, maskL = self._accumulate(1)
+        self.res_in_a = max(nresA, 1)
+        HA, bA = self._stitch_top(accA, use_prior=False)
+        HL, bL = self._stitch_top(accL, use_prior=True)
+        Hsc, bsc, HdiF, bdSum, HcdSum, ngood, scmask = self._schur(
+            maskA, maskL, HddA, bdA, HcdA, HddL, bdL, HcdL, True
+        )
+
+        nf = self.n_frames
+        n = CPARS + nf * 8
+        delta = self.stitched_delta()
+        bM_top = self.bM[:n] + self.HM[:n, :n] @ delta
+
+        HFinal = HL + self.HM[:n, :n] + HA
+        bFinal = bL + bM_top + bA - bsc
+        HFinal[np.arange(n), np.arange(n)] *= 1 + lam
+        HFinal = HFinal - Hsc * (1.0 / (1 + lam))
+
+        SVecI = 1.0 / np.sqrt(np.abs(np.diag(HFinal)) + 10.0)
+        Hs = HFinal * SVecI[:, None] * SVecI[None, :]
+        x = SVecI * np.linalg.solve(Hs, SVecI * bFinal)
+
+        if iteration >= 2:  # SOLVER_ORTHOGONALIZE_X_LATER (default mode)
+            x, _ = self.orthogonalize(x=x)
+
+        # resubstitute (EnergyFunctional.cpp:263-317)
+        self.calib_step = -x[:CPARS]
+        for i, f in enumerate(self.frames):
+            f.step[:] = 0
+            f.step[:8] = -x[CPARS + 8 * i : CPARS + 8 * i + 8]
+        xAd = np.zeros((self.F, self.F, 8))
+        for h in range(nf):
+            xh = x[CPARS + 8 * h : CPARS + 8 * h + 8]
+            for t in range(nf):
+                xt = x[CPARS + 8 * t : CPARS + 8 * t + 8]
+                xAd[h, t] = xh @ self.ad_host[h, t] + xt @ self.ad_target[h, t]
+        JpJdF = K.compute_JpJdF(self.jstore, self.F)
+        steps = K.resubstitute(
+            jnp.asarray(x[:CPARS], jnp.float32), jnp.asarray(xAd, jnp.float32),
+            JpJdF, jnp.asarray(scmask), jnp.asarray(self.pts.host),
+            jnp.asarray(HcdSum, jnp.float32), jnp.asarray(bdSum, jnp.float32),
+            jnp.asarray(HdiF, jnp.float32), jnp.asarray(ngood), self.F,
+        )
+        self.pts.step = np.asarray(steps)
+        return x
+
+    # ------------------------------------------------------------------
+    # The optimize() loop (FullSystemOptimize.cpp:398-575, default modes)
+    # ------------------------------------------------------------------
+    def backup_state(self):
+        self.calib_backup = self.calib_value.copy()
+        for f in self.frames:
+            f.state_backup = f.state.copy()
+        self.pts.idepth_backup = self.pts.idepth.copy()
+
+    def do_step_from_backup(self) -> bool:
+        """Apply steps; returns True when converged (:217-299)."""
+        s = self.s
+        self.calib_value = self.calib_backup + self.calib_step
+        sumA = sumB = sumT = sumR = 0.0
+        for f in self.frames:
+            f.set_state(f.state_backup + f.step)
+            sumA += f.step[6] ** 2
+            sumB += f.step[7] ** 2
+            sumT += float(np.sum(f.step[0:3] ** 2))
+            sumR += float(np.sum(f.step[3:6] ** 2))
+        p = self.pts
+        act = p.active
+        newid = p.idepth_backup + p.step
+        p.idepth = np.where(act, newid, p.idepth).astype(np.float32)
+        p.idepth_zero = np.where(act, newid, p.idepth_zero).astype(np.float32)
+        nid = max(int(act.sum()), 1)
+        sumID = float(np.sum((p.step[act]) ** 2)) / nid
+        sumNID = float(np.sum(np.abs(p.idepth_backup[act]))) / nid
+        nf = max(self.n_frames, 1)
+        # convergence in the reference's scaled units
+        sumA /= nf * SCALE_A**2
+        sumB /= nf * SCALE_B**2
+        sumT /= nf * SCALE_XI_TRANS**2
+        sumR /= nf
+        th = s.th_opt_iterations
+        return (
+            np.sqrt(sumA) < 0.0005 * th
+            and np.sqrt(sumB) < 0.00005 * th
+            and np.sqrt(sumR) < 0.00005 * th
+            and np.sqrt(sumT) * sumNID < 0.00005 * th
+        )
+
+    def optimize(self, max_iters: int) -> float:
+        """GN iterations under forceAcceptStep + FIX_LAMBDA defaults."""
+        if self.n_frames < 2:
+            return 0.0
+        if self.n_frames < 3:
+            max_iters = 20
+        elif self.n_frames < 4:
+            max_iters = 15
+
+        p = self.pts
+        # reset OOB state of active (non-linearized) residuals (resetOOB)
+        act = p.r_exists & ~p.r_linearized
+        p.r_state = np.where(act, RES_IN, p.r_state).astype(np.int8)
+
+        self.linearize_all(False)
+        lam = 1e-5  # SOLVER_FIX_LAMBDA
+        for it in range(max_iters):
+            self.backup_state()
+            self.solve_system(it, lam)
+            canbreak = self.do_step_from_backup()
+            self.linearize_all(False)
+            if canbreak and it >= self.s.min_opt_iterations:
+                break
+
+        # new linearization point for the newest frame (:550-562)
+        newest = self.frames[-1]
+        new_zero = np.zeros(10)
+        new_zero[6:8] = newest.state[6:8]
+        newest.set_eval_pt(newest.PRE_worldToCam, new_zero)
+        self.set_adjoints()
+
+        energy, _removed = self.linearize_all(True)
+        rmse = float(np.sqrt(energy / (8.0 * self.res_in_a)))
+
+        # push optimized poses to shells
+        for f in self.frames:
+            if f.shell is not None:
+                f.shell.camToWorld = f.PRE_camToWorld
+                f.shell.aff_g2l = f.aff_g2l()
+        return rmse
+
+    # ------------------------------------------------------------------
+    # Marginalization
+    # ------------------------------------------------------------------
+    def marginalize_points(self, marg_mask: np.ndarray):
+        """marginalizePointsF (:615-676): fold flagged points into HM/bM."""
+        p = self.pts
+        s = self.s
+        sel = marg_mask & p.active
+        if not sel.any():
+            self.pts.remove(np.nonzero(marg_mask)[0])
+            return
+        p.prior = np.where(sel, p.prior * s.idepth_fix_prior_marg_fac, p.prior)
+        accM, nresM, HddM, bdM, HcdM, maskM = self._accumulate(2, subset=sel)
+        M, Mb = self._stitch_top(accM, use_prior=False)
+        z = np.zeros_like(HddM)
+        zc = np.zeros_like(HcdM)
+        Msc, Mbsc, *_ = self._schur(
+            maskM, np.zeros_like(np.asarray(maskM)), HddM, bdM, HcdM,
+            z, z, zc, False, subset=sel
+        )
+        n = CPARS + self.n_frames * 8
+        H = M - Msc
+        b = Mb - Mbsc
+        self.HM, self.bM = self._grow_hm(n)
+        self.HM[:n, :n] += s.marg_weight_fac * H
+        self.bM[:n] += s.marg_weight_fac * b
+        self.pts.remove(np.nonzero(sel)[0])
+
+    def _grow_hm(self, n):
+        HM = np.zeros((n, n))
+        bM = np.zeros(n)
+        m = min(n, self.HM.shape[0])
+        HM[:m, :m] = self.HM[:m, :m]
+        bM[:m] = self.bM[:m]
+        return HM, bM
+
+    def insert_frame_hm(self):
+        """Extend HM/bM by 8 zero rows/cols for a newly inserted frame."""
+        n = CPARS + self.n_frames * 8
+        self.HM, self.bM = self._grow_hm(n)
+
+    def marginalize_frame(self, idx: int):
+        """Schur-marginalize frame idx out of HM/bM (:500-610) and compact
+        the window."""
+        nf = self.n_frames
+        n = CPARS + nf * 8
+        ndim = n - 8
+        HM, bM = self._grow_hm(n)
+
+        # move frame block to the end
+        order = list(range(nf))
+        order.remove(idx)
+        order.append(idx)
+        perm = np.arange(CPARS).tolist()
+        for k in order:
+            perm += list(range(CPARS + 8 * k, CPARS + 8 * k + 8))
+        perm = np.array(perm)
+        HM = HM[np.ix_(perm, perm)]
+        bM = bM[perm]
+
+        fr = self.frames[idx]
+        pr = fr.prior()
+        HM[np.arange(ndim, n), np.arange(ndim, n)] += pr
+        bM[ndim:] += pr * fr.delta_prior()
+
+        SVec = np.sqrt(np.abs(np.diag(HM)) + 10.0)
+        SVecI = 1.0 / SVec
+        HMs = HM * SVecI[:, None] * SVecI[None, :]
+        bMs = bM * SVecI
+        hpi = HMs[ndim:, ndim:]
+        hpi = np.linalg.pinv(0.5 * (hpi + hpi.T))
+        hpi = 0.5 * (hpi + hpi.T)
+        bli = HMs[ndim:, :ndim].T @ hpi
+        HMs_new = HMs[:ndim, :ndim] - bli @ HMs[ndim:, :ndim]
+        bMs_new = bMs[:ndim] - bli @ bMs[ndim:]
+        HM_new = HMs_new * SVec[:ndim, None] * SVec[None, :ndim]
+        bM_new = bMs_new * SVec[:ndim]
+        self.HM = 0.5 * (HM_new + HM_new.T)
+        self.bM = bM_new
+
+        # compact window
+        self.frames.pop(idx)
+        imgs = np.array(self.images)  # writable copy
+        imgs[idx : nf - 1] = imgs[idx + 1 : nf]
+        self.images = jnp.asarray(imgs)
+        self.pts.shift_frame_down(idx, nf - 1)
+        # jstore columns must shift identically
+        st = {}
+        colorder = list(range(self.F))
+        new_order = colorder[:idx] + colorder[idx + 1 :] + [idx]
+        for k2, v2 in self.jstore.items():
+            st[k2] = v2[:, jnp.asarray(new_order)]
+        self.jstore = st
+        self.set_adjoints()

@@ -1,0 +1,160 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nalo_slam_tpu.config import Settings
+from nalo_slam_tpu.backend.energy import WindowOptimizer
+from nalo_slam_tpu.backend.window import FrameState, RES_IN
+from nalo_slam_tpu.geometry import SE3
+from nalo_slam_tpu.ops import build_pyramid
+from nalo_slam_tpu.ops.interp import interp3
+from nalo_slam_tpu.config import PATTERN
+from nalo_slam_tpu.utils.synthetic import PlaneScene, default_calib
+
+
+def _settings():
+    return Settings(
+        max_window_frames=4, max_points=1024,
+        overall_energy_th_weight=100.0,  # disable outlier gating in tests
+    )
+
+
+def build_window(n_frames=3, pose_perturb=0.0, idepth_perturb=0.0, n_side=14, seed=0):
+    rng = np.random.default_rng(seed)
+    s = _settings()
+    calib = default_calib(320, 240)
+    scene = PlaneScene(calib, z0=3.0)
+    gt_c2w = [
+        SE3.exp(np.array([0.10 * k, 0.03 * k, 0.01 * k, 0.002 * k, -0.004 * k, 0.001 * k]))
+        for k in range(n_frames)
+    ]
+    imgs, idepths = zip(*[scene.render(p) for p in gt_c2w])
+    opt = WindowOptimizer(s, calib.value_vec(), (240, 320))
+
+    dI0s = []
+    for k in range(n_frames):
+        fs = FrameState(frame_id=k, shell=None, ab_exposure=1.0, settings=s)
+        w2c = gt_c2w[k].inverse()
+        if k > 0 and pose_perturb > 0:
+            w2c = SE3.exp(rng.normal(size=6) * pose_perturb) * w2c
+        fs.set_eval_pt_scaled(w2c, 0.0, 0.0)
+        fs.frame_energy_th = 1e12
+        dI0 = build_pyramid(jnp.asarray(imgs[k]), 1)[0][0]
+        dI0s.append(dI0)
+        opt.insert_frame(fs, dI0)
+
+    # points on a grid in frame 0
+    xs = np.linspace(20, 300, n_side)
+    ys = np.linspace(20, 220, n_side)
+    uu, vv = np.meshgrid(xs, ys)
+    u = uu.ravel().astype(np.float32)
+    v = vv.ravel().astype(np.float32)
+    pat = PATTERN
+    up = u[:, None] + pat[None, :, 0]
+    vp = v[:, None] + pat[None, :, 1]
+    host_dI = dI0s[0]
+    samp = np.asarray(interp3(host_dI, jnp.asarray(up), jnp.asarray(vp)))
+    g2 = samp[..., 1] ** 2 + samp[..., 2] ** 2
+    # keep only well-textured points so no residual trips the wJI2 gate
+    keep = g2.mean(axis=1) > 4.0
+    u, v, up, vp, samp, g2 = u[keep], v[keep], up[keep], vp[keep], samp[keep], g2[keep]
+    assert len(u) > 40, f"too few textured grid points: {len(u)}"
+    color = samp[..., 0]
+    weights = np.sqrt(s.outlier_th_sum_component / (s.outlier_th_sum_component + g2)).astype(np.float32)
+    idepth = idepths[0][v.astype(int), u.astype(int)].astype(np.float32)
+    if idepth_perturb > 0:
+        idepth = idepth * (1 + rng.normal(size=len(idepth)) * idepth_perturb).astype(np.float32)
+    eth = np.full(len(u), 8 * s.outlier_th, np.float32)
+    slots = opt.insert_points(0, u, v, color, weights, idepth, eth, has_prior=True)
+    for t in range(1, n_frames):
+        opt.add_residuals(slots, t)
+    return opt, gt_c2w, idepths, slots
+
+
+class TestGradient:
+    def test_b_matches_numeric_gradient(self):
+        """2*b from the stitched system == dE/dx (validates Jacobians and
+        adjoint transport against the actual photometric energy)."""
+        opt, gt, _, _ = build_window(n_frames=3, pose_perturb=3e-3, idepth_perturb=0.02)
+        opt.linearize_all(False)
+        accA, _, _, _, _, maskA = opt._accumulate(0)
+        _, b = opt._stitch_top(accA, use_prior=False)
+
+        def energy_at(frame_idx, comp, eps):
+            f = opt.frames[frame_idx]
+            old = f.state.copy()
+            st = old.copy()
+            st[comp] += eps
+            f.set_state(st)
+            e, _ = opt.linearize_all(False)
+            f.set_state(old)
+            return e
+
+        eps = 1e-5
+        for fi in (1, 2):
+            for comp in range(8):
+                ep = energy_at(fi, comp, eps)
+                em = energy_at(fi, comp, -eps)
+                num = (ep - em) / (2 * eps)
+                idx = 4 + 8 * fi + comp
+                ana = 2 * b[idx]
+                denom = max(abs(num), abs(ana), 1e3)
+                assert abs(num - ana) / denom < 0.05, (
+                    f"frame {fi} comp {comp}: numeric {num:.4g} vs 2b {ana:.4g}"
+                )
+        # restore
+        opt.linearize_all(False)
+
+
+class TestBAConvergence:
+    def test_recover_poses_and_idepths(self):
+        opt, gt, idepths, slots = build_window(
+            n_frames=3, pose_perturb=5e-3, idepth_perturb=0.03
+        )
+        rmse = opt.optimize(10)
+        assert np.isfinite(rmse)
+        assert rmse < 1.0, f"final rmse {rmse}"
+        # monocular BA has a free scale gauge (the idepth prior follows the
+        # linearization point, as in the reference): compare up to the
+        # similarity gauge anchored at frame 0.
+        p = opt.pts
+        act = p.active
+        u = p.u[act].astype(int)
+        v = p.v[act].astype(int)
+        gt_id = idepths[0][v, u]
+        k_scale = float(np.median(gt_id / p.idepth[act]))
+        for k in range(3):
+            est_c2w = opt.frames[k].PRE_camToWorld
+            exp_c2w = SE3(gt[k].R, gt[k].t * k_scale)
+            err = (est_c2w.inverse() * exp_c2w).log()
+            # planar-scene observability is weak in some directions; 5e-3 is
+            # well inside the basin the next KF pulls from
+            assert np.linalg.norm(err) < 5e-3, f"frame {k} gauge-corrected err {err}"
+        # idepth structure: relative spread after gauge correction
+        rel = np.abs(p.idepth[act] * k_scale - gt_id) / gt_id
+        assert np.median(rel) < 0.01, f"median idepth structure err {np.median(rel)}"
+
+    def test_marginalize_frame_keeps_window_consistent(self):
+        opt, gt, _, slots = build_window(n_frames=3, pose_perturb=3e-3)
+        opt.optimize(6)
+        # deactivate points hosted in frame 0 (would be dropped/marginalized)
+        host0 = opt.pts.active & (opt.pts.host == 0)
+        opt.marginalize_points(host0)
+        opt.marginalize_frame(0)
+        assert opt.n_frames == 2
+        assert opt.HM.shape == (4 + 16, 4 + 16)
+        # optimize still runs (no points left on frame 0, so it no-ops fast)
+        rmse = opt.optimize(3)
+        assert np.isfinite(rmse)
+
+    def test_point_marginalization_builds_prior(self):
+        opt, gt, _, slots = build_window(n_frames=3, pose_perturb=3e-3)
+        opt.optimize(6)
+        hm_before = opt.HM.copy()
+        sel = np.zeros(opt.P, bool)
+        sel[slots[:20]] = True
+        opt.marginalize_points(sel)
+        assert not opt.pts.active[slots[:20]].any()
+        assert np.linalg.norm(opt.HM - hm_before) > 0
+        # HM stays symmetric
+        np.testing.assert_allclose(opt.HM, opt.HM.T, atol=1e-3)  # f32 accumulation asymmetry
