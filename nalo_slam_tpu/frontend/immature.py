@@ -1,0 +1,354 @@
+"""Immature points: epipolar depth filter + activation.
+
+Rebuild of ImmaturePoint (reference: src/FullSystem/ImmaturePoint.cpp) and
+optimizeImmaturePoint (src/FullSystem/FullSystemOptPoint.cpp) as batched
+fixed-shape kernels:
+
+* trace_points: the epipolar line search (traceOn :76-435) vmapped over all
+  immature points of all hosts against one new frame.  The <=100-step
+  discrete search becomes a fixed 100-slot masked scan; the 3-iteration GN
+  refinement along the line is unrolled.  Status transitions, the
+  gradient-vs-epipolar error bound, the quality (2nd-best ratio) and the
+  interval update replicate the reference formulas.
+* activate_points: idepth-only LM over all window frames
+  (linearizeResidual :497-564 + the LM ladder of optimizeImmaturePoint
+  :51-206) vmapped over candidate points.
+* make_immature_data: pattern colors / gradient weights / gradH at point
+  creation (ImmaturePoint ctor :32-61).
+
+Statuses (reference ImmaturePoint.h):
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PATTERN
+from ..ops.interp import interp1, interp3
+
+IPS_GOOD = 0
+IPS_OOB = 1
+IPS_OUTLIER = 2
+IPS_SKIPPED = 3
+IPS_BADCONDITION = 4
+IPS_UNINITIALIZED = 5
+
+_N_STEPS = 100
+
+
+@jax.jit
+def make_immature_data(dI, u, v):
+    """Pattern colors, weights, gradH, energyTH ingredients for new points.
+    u, v: (N,) pixel coords.  Returns color (N,8), weights (N,8),
+    gradH (N,2,2), ok (N,)."""
+    pat = jnp.asarray(PATTERN, jnp.float32)
+    up = u[:, None] + pat[None, :, 0]
+    vp = v[:, None] + pat[None, :, 1]
+    samp = interp3(dI, up, vp)
+    color = samp[..., 0]
+    g = samp[..., 1:]
+    gradH = jnp.einsum("nki,nkj->nij", g, g, precision="highest")
+    # outlierTHSumComponent = 50*50 (settings.cpp:103)
+    w = jnp.sqrt(2500.0 / (2500.0 + jnp.sum(g * g, axis=-1)))
+    ok = jnp.all(jnp.isfinite(color), axis=-1)
+    return color, w, gradH, ok
+
+
+@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img"))
+def trace_points(
+    new_dI,                       # (H, W, 3)
+    u, v, color, weights, gradH,  # (N,), (N,8), (N,2,2)
+    idepth_min, idepth_max,       # (N,)  (idepth_max may be inf)
+    status, quality, energy_th,   # (N,)
+    host_KRKi, host_Kt, host_aff, # (Fh,3,3), (Fh,3), (Fh,2) per host frame
+    p_host,                       # (N,) int32
+    max_pix_search_frac,          # scalar (setting_maxPixSearch)
+    huber_th: float, w_img: int, h_img: int,
+):
+    """Vectorized ImmaturePoint::traceOn.  Returns new (idepth_min,
+    idepth_max, status, quality, pixel_interval, last_u, last_v)."""
+    KRKi = host_KRKi[p_host]
+    Kt = host_Kt[p_host]
+    aff = host_aff[p_host]
+    pat = jnp.asarray(PATTERN, jnp.float32)
+    max_pix_search = (w_img + h_img) * max_pix_search_frac
+
+    was_oob = status == IPS_OOB
+    pr = jnp.einsum("nij,nj->ni", KRKi,
+                    jnp.stack([u, v, jnp.ones_like(u)], -1), precision="highest")
+    ptp_min = pr + Kt * idepth_min[:, None]
+    u_min = ptp_min[:, 0] / ptp_min[:, 2]
+    v_min = ptp_min[:, 1] / ptp_min[:, 2]
+    min_ok = (u_min > 4) & (v_min > 4) & (u_min < w_img - 5) & (v_min < h_img - 5)
+
+    have_max = jnp.isfinite(idepth_max)
+    ptp_max = pr + Kt * jnp.where(have_max, idepth_max, 0.01)[:, None]
+    u_max0 = ptp_max[:, 0] / ptp_max[:, 2]
+    v_max0 = ptp_max[:, 1] / ptp_max[:, 2]
+
+    dist_f = jnp.sqrt((u_min - u_max0) ** 2 + (v_min - v_max0) ** 2)
+    # without a max: extend along direction to maxPixSearch (reference :158-180)
+    dnorm = 1.0 / jnp.maximum(dist_f, 1e-9)
+    u_max_inf = u_min + max_pix_search * (u_max0 - u_min) * dnorm
+    v_max_inf = v_min + max_pix_search * (v_max0 - v_min) * dnorm
+    u_max = jnp.where(have_max, u_max0, u_max_inf)
+    v_max = jnp.where(have_max, v_max0, v_max_inf)
+    dist = jnp.where(have_max, dist_f, max_pix_search)
+    max_ok = (u_max > 4) & (v_max > 4) & (u_max < w_img - 5) & (v_max < h_img - 5)
+
+    # skip if interval already tight (reference :145-155)
+    skip = have_max & (dist < 1.5)  # setting_trace_slackInterval
+
+    # OOB on big scale change (:185-192)
+    scale_ok = (idepth_min < 0) | ((ptp_min[:, 2] > 0.75) & (ptp_min[:, 2] < 1.5))
+
+    # geometric error bound from gradH vs epipolar direction (:196-216)
+    dx = u_max - u_min
+    dy = v_max - v_min
+    d_ep = jnp.stack([dx, dy], -1)
+    d_pe = jnp.stack([dy, -dx], -1)
+    a_q = jnp.einsum("ni,nij,nj->n", d_ep, gradH, d_ep)
+    b_q = jnp.einsum("ni,nij,nj->n", d_pe, gradH, d_pe)
+    error_in_pixel = 0.2 + 0.2 * (a_q + b_q) / jnp.maximum(a_q, 1e-9)
+    bad_condition = (error_in_pixel * 2.0 > dist) & have_max  # minImprovementFactor
+    error_in_pixel = jnp.minimum(error_in_pixel, 10.0)
+
+    # discrete search along the line
+    dxn = dx / jnp.maximum(dist, 1e-9)
+    dyn = dy / jnp.maximum(dist, 1e-9)
+    dir_finite = jnp.isfinite(dxn) & jnp.isfinite(dyn)
+    dist_c = jnp.minimum(dist, max_pix_search)
+    num_steps = jnp.minimum((1.9999 + dist_c).astype(jnp.int32), _N_STEPS - 1)
+    rand_shift = u_min * 1000.0 - jnp.floor(u_min * 1000.0)
+    ptx = u_min - rand_shift * dxn
+    pty = v_min - rand_shift * dyn
+
+    rot = KRKi[:, :2, :2]  # Rplane (:233)
+    rp = jnp.einsum("nij,kj->nki", rot, pat, precision="highest")  # (N,8,2)
+
+    steps = jnp.arange(_N_STEPS, dtype=jnp.float32)
+    sx = ptx[:, None] + steps[None, :] * dxn[:, None]     # (N,100)
+    sy = pty[:, None] + steps[None, :] * dyn[:, None]
+    px = sx[:, :, None] + rp[:, None, :, 0]               # (N,100,8)
+    py = sy[:, :, None] + rp[:, None, :, 1]
+    hit = interp1(new_dI[..., 0], px, py)
+    finite = jnp.isfinite(hit)
+    res = hit - (aff[:, None, None, 0] * color[:, None, :] + aff[:, None, None, 1])
+    absr = jnp.abs(res)
+    hw = jnp.where(absr < huber_th, 1.0, huber_th / jnp.maximum(absr, 1e-12))
+    e_pat = jnp.where(finite, hw * res * res * (2.0 - hw), 1e5)
+    energies = jnp.sum(e_pat, axis=-1)                    # (N,100)
+    step_valid = steps[None, :] < num_steps[:, None].astype(jnp.float32)
+    energies = jnp.where(step_valid, energies, 1e10)
+
+    best_idx = jnp.argmin(energies, axis=-1)
+    best_energy = jnp.min(energies, axis=-1)
+    best_u = ptx + best_idx.astype(jnp.float32) * dxn
+    best_v = pty + best_idx.astype(jnp.float32) * dyn
+
+    # second best outside +-2 (setting_minTraceTestRadius)
+    idxs = jnp.arange(_N_STEPS)
+    far = jnp.abs(idxs[None, :] - best_idx[:, None]) > 2
+    second = jnp.min(jnp.where(far, energies, 1e10), axis=-1)
+    new_quality = second / jnp.maximum(best_energy, 1e-12)
+    quality_out = jnp.where(
+        (new_quality < quality) | (num_steps > 10), new_quality, quality
+    )
+
+    # GN refinement along the line (:318-380), 3 iterations unrolled
+    def gn_iter(carry, _):
+        bu, bv, be, step_back, ub, vb = carry
+        hx = bu[:, None] + rp[:, :, 0]
+        hy = bv[:, None] + rp[:, :, 1]
+        hc = interp3(new_dI, hx, hy)
+        fin = jnp.isfinite(hc[..., 0])
+        r = hc[..., 0] - (aff[:, None, 0] * color + aff[:, None, 1])
+        dres = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]
+        ar = jnp.abs(r)
+        hw_ = jnp.where(ar < huber_th, 1.0, huber_th / jnp.maximum(ar, 1e-12))
+        H = 1.0 + jnp.sum(jnp.where(fin, hw_ * dres * dres, 0.0), -1)
+        b = jnp.sum(jnp.where(fin, hw_ * r * dres, 0.0), -1)
+        en = jnp.sum(
+            jnp.where(fin, weights**2 * hw_ * r * r * (2 - hw_), 1e5), -1
+        )
+        worse = en > be
+        # back-step on worse, GN step on better (:362-392)
+        sb_new = jnp.where(worse, step_back * 0.5, jnp.clip(-b / H, -0.5, 0.5))
+        sb_new = jnp.where(jnp.isfinite(sb_new), sb_new, 0.0)
+        ub_n = jnp.where(worse, ub, bu)
+        vb_n = jnp.where(worse, vb, bv)
+        bu_n = ub_n + sb_new * dxn
+        bv_n = vb_n + sb_new * dyn
+        be_n = jnp.where(worse, be, en)
+        return (bu_n, bv_n, be_n, sb_new, ub_n, vb_n), None
+
+    init = (best_u, best_v, jnp.full_like(best_energy, 1e5),
+            jnp.zeros_like(best_u), best_u, best_v)
+    (best_u, best_v, best_energy, _, _, _), _ = jax.lax.scan(
+        gn_iter, init, None, length=3
+    )
+
+    outlier_e = ~(best_energy < energy_th * 1.2)  # extraSlackOnTH
+
+    # new idepth interval from best position +- errorInPixel (:404-434)
+    use_x = dxn * dxn > dyn * dyn
+    e_dx = error_in_pixel * dxn
+    e_dy = error_in_pixel * dyn
+
+    def id_from_u(bu):
+        return (pr[:, 2] * bu - pr[:, 0]) / (Kt[:, 0] - bu * Kt[:, 2])
+
+    def id_from_v(bv):
+        return (pr[:, 2] * bv - pr[:, 1]) / (Kt[:, 1] - bv * Kt[:, 2])
+
+    idmin_new = jnp.where(use_x, id_from_u(best_u - e_dx), id_from_v(best_v - e_dy))
+    idmax_new = jnp.where(use_x, id_from_u(best_u + e_dx), id_from_v(best_v + e_dy))
+    lo = jnp.minimum(idmin_new, idmax_new)
+    hi = jnp.maximum(idmin_new, idmax_new)
+    interval_bad = ~(jnp.isfinite(lo) & jnp.isfinite(hi)) | (hi < 0)
+
+    # ---- combine state machine ----
+    oob_now = ~min_ok | (~max_ok) | (~scale_ok) | (~dir_finite)
+    out_state = jnp.full_like(status, IPS_GOOD)
+    out_state = jnp.where(interval_bad, IPS_OUTLIER, out_state)
+    out_state = jnp.where(outlier_e,
+                          jnp.where(status == IPS_OUTLIER, IPS_OOB, IPS_OUTLIER),
+                          out_state)
+    out_state = jnp.where(bad_condition, IPS_BADCONDITION, out_state)
+    out_state = jnp.where(skip, IPS_SKIPPED, out_state)
+    out_state = jnp.where(oob_now, IPS_OOB, out_state)
+    out_state = jnp.where(was_oob, IPS_OOB, out_state)
+
+    updated = (out_state == IPS_GOOD)
+    idepth_min_out = jnp.where(updated, lo, idepth_min)
+    idepth_max_out = jnp.where(updated, hi, idepth_max)
+    pixel_interval = jnp.where(updated, 2.0 * error_in_pixel,
+                               jnp.where(skip | bad_condition, dist, 0.0))
+    last_u = jnp.where(updated, best_u, 0.5 * (u_min + u_max))
+    last_v = jnp.where(updated, best_v, 0.5 * (v_min + v_max))
+    return idepth_min_out, idepth_max_out, out_state, quality_out, pixel_interval, last_u, last_v
+
+
+@partial(jax.jit, static_argnames=("iters", "huber_th", "w_img", "h_img"))
+def activate_points(
+    images,                        # (F, H, W, 3)
+    u, v, color, weights,          # (N,), (N,8), (N,8)
+    idepth_init,                   # (N,)
+    p_host,                        # (N,)
+    energy_th,                     # (N,)
+    PRE_R, PRE_t, PRE_aff,         # (F,F,3,3), (F,F,3), (F,F,2) current pose
+    frame_active,                  # (F,) bool
+    calib,
+    min_idepth_h_act: float,
+    iters: int, huber_th: float, w_img: int, h_img: int,
+):
+    """Batched optimizeImmaturePoint: idepth-only LM over all other frames.
+
+    Returns idepth (N,), ok (N,), res_good (N, F) -- per-target IN flags.
+    """
+    fx, fy, cx, cy = calib[0], calib[1], calib[2], calib[3]
+    F = images.shape[0]
+    pat = jnp.asarray(PATTERN, jnp.float32)
+    R = PRE_R[p_host]      # (N, F, 3, 3)
+    t = PRE_t[p_host]
+    affs = PRE_aff[p_host]
+    # residual exists for every active frame except the host
+    tgt_ok = frame_active[None, :] & (
+        jnp.arange(F)[None, :] != p_host[:, None]
+    )
+
+    KliP = jnp.stack(
+        [
+            (u[:, None] + pat[None, :, 0] - cx) / fx,
+            (v[:, None] + pat[None, :, 1] - cy) / fy,
+            jnp.ones((u.shape[0], 8), jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 8, 3)
+
+    def energy_Hb(idepth):
+        ptp = (
+            jnp.einsum("nfij,nkj->nfki", R, KliP, precision="highest")
+            + t[:, :, None, :] * idepth[:, None, None, None]
+        )  # (N, F, 8, 3)
+        drescale = 1.0 / ptp[..., 2]
+        un = ptp[..., 0] * drescale
+        vn = ptp[..., 1] * drescale
+        Ku = un * fx + cx
+        Kv = vn * fy + cy
+        inb = (
+            (drescale > 0) & (Ku > 1.1) & (Kv > 1.1)
+            & (Ku < w_img - 3) & (Kv < h_img - 3)
+        )
+        hit = jax.vmap(lambda im, x, y: interp3(im, x, y),
+                       in_axes=(0, 1, 1), out_axes=1)(images, Ku, Kv)
+        fin = jnp.isfinite(hit[..., 0])
+        res_ok = jnp.all(inb & fin, axis=-1) & tgt_ok     # (N, F)
+        r = hit[..., 0] - (affs[..., 0, None] * color[:, None, :] + affs[..., 1, None])
+        ar = jnp.abs(r)
+        hw = jnp.where(ar < huber_th, 1.0, huber_th / jnp.maximum(ar, 1e-12))
+        wsq = weights[:, None, :] ** 2
+        e_pat = wsq * hw * r * r * (2 - hw)
+        e_res = jnp.sum(e_pat, axis=-1)                   # (N, F)
+        # outlier clamp per residual (energyTH * outlierTHSlack=1)
+        res_in = res_ok & (e_res <= energy_th[:, None])
+        e_res = jnp.where(res_ok, jnp.minimum(e_res, energy_th[:, None]), 0.0)
+        dxi = hit[..., 1] * fx
+        dyi = hit[..., 2] * fy
+        d_id = (
+            dxi * drescale * (t[:, :, None, 0] - t[:, :, None, 2] * un)
+            + dyi * drescale * (t[:, :, None, 1] - t[:, :, None, 2] * vn)
+        )
+        hww = hw * wsq
+        Hdd = jnp.sum(jnp.where(res_in[..., None], hww * d_id * d_id, 0.0), (-1, -2))
+        bd = jnp.sum(jnp.where(res_in[..., None], hww * r * d_id, 0.0), (-1, -2))
+        E = jnp.sum(e_res, axis=-1)
+        return E, Hdd, bd, res_in
+
+    idepth = idepth_init
+    E, Hdd, bd, res_in = energy_Hb(idepth)
+    ok0 = jnp.isfinite(E) & (Hdd >= min_idepth_h_act)
+
+    lam = jnp.full_like(idepth, 0.1)
+    for _ in range(iters):
+        step = bd / (Hdd * (1 + lam))
+        new_id = idepth - step
+        E2, Hdd2, bd2, res_in2 = energy_Hb(new_id)
+        accept = E2 < E
+        idepth = jnp.where(accept, new_id, idepth)
+        E = jnp.where(accept, E2, E)
+        Hdd = jnp.where(accept, Hdd2, Hdd)
+        bd = jnp.where(accept, bd2, bd)
+        res_in = jnp.where(accept[:, None], res_in2, res_in)
+        lam = jnp.where(accept, lam * 0.5, lam * 5.0)
+
+    ngood = jnp.sum(res_in, axis=-1)
+    ok = ok0 & jnp.isfinite(idepth) & (Hdd >= min_idepth_h_act) & (ngood >= 1)
+    return idepth, ok, res_in
+
+
+def distance_map(point_u, point_v, valid, h1, w1, iters=40):
+    """Chebyshev-ish BFS distance transform on the half-res grid
+    (reference CoarseDistanceMap :1410-1552), as iterated min-pool."""
+    occ = np.zeros((h1, w1), np.float32)
+    d = np.full((h1, w1), 1e4, np.float32)
+    ui = np.clip(point_u[valid].astype(int), 0, w1 - 1)
+    vi = np.clip(point_v[valid].astype(int), 0, h1 - 1)
+    d[vi, ui] = 0
+    return _grow_dist(jnp.asarray(d), iters)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _grow_dist(d, iters: int):
+    def body(_, d):
+        out = d
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            out = jnp.minimum(out, jnp.roll(d, (dy, dx), (0, 1)) + 1.0)
+        return out
+
+    return jax.lax.fori_loop(0, iters, body, d)

@@ -1,0 +1,803 @@
+"""FullSystem: the per-frame SLAM orchestrator.
+
+Rebuild of FullSystem (reference: src/FullSystem/FullSystem.cpp) driving the
+TPU-native components:
+
+  addActiveFrame (:1034)  -> add_frame
+  trackNewCoarse (:502)   -> _track_new_coarse (fast path: hypothesis 0 only,
+                             :655 break; fallback: ALL hypotheses batched in
+                             one vmapped pyramid descent)
+  makeKeyFrame (:1279)    -> _make_keyframe
+  makeNonKeyFrame (:1265) -> _make_non_keyframe
+  traceNewCoarse (:702)   -> one batched trace_points call over every
+                             immature point of every window frame
+  activatePointsMT (:764) -> distance-map gating + batched activate_points
+  flagFramesForMarginalization (FullSystemMarginalize.cpp:58)
+  flagPointsForRemoval (:937)
+  initializeFromInitializer (:1567)
+
+This round runs the reference's `linearizeOperation` (sequential) mode; the
+track||map thread pipeline is layered on top in system/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Settings
+from ..geometry import SE3, PyramidCalib
+from ..ops import build_pyramid
+from ..backend.energy import WindowOptimizer
+from ..backend.window import FrameState, RES_IN, RES_OOB, RES_OUTLIER, RES_NONE
+from ..frontend.initializer import CoarseInitializer
+from ..frontend.pixel_selector import PixelSelector
+from ..frontend.tracker import make_track_fn, make_coarse_depth_maps, aff_from_to
+from ..frontend import immature as imm
+
+import jax
+
+
+class FrameShell:
+    """Pose record per frame (reference src/util/FrameShell.h:37-77)."""
+
+    def __init__(self, fid: int, incoming_id: int, timestamp: float):
+        self.id = fid
+        self.incoming_id = incoming_id
+        self.timestamp = timestamp
+        self.camToWorld = SE3()
+        self.aff_g2l = (0.0, 0.0)
+        self.trackingRef: "FrameShell | None" = None
+        self.camToTrackingRef = SE3()
+        self.poseValid = True
+        self.marginalizedAt = -1
+
+
+class ImmatureStore:
+    """Padded immature-point arrays for one keyframe."""
+
+    def __init__(self, M: int):
+        self.M = M
+        self.valid = np.zeros(M, bool)
+        self.u = np.zeros(M, np.float32)
+        self.v = np.zeros(M, np.float32)
+        self.color = np.zeros((M, 8), np.float32)
+        self.weights = np.zeros((M, 8), np.float32)
+        self.gradH = np.zeros((M, 2, 2), np.float32)
+        self.idepth_min = np.zeros(M, np.float32)
+        self.idepth_max = np.full(M, np.nan, np.float32)
+        self.quality = np.full(M, 10000.0, np.float32)
+        self.status = np.full(M, imm.IPS_UNINITIALIZED, np.int32)
+        self.pixel_interval = np.zeros(M, np.float32)
+        self.my_type = np.ones(M, np.float32)
+        self.energy_th = np.zeros(M, np.float32)
+
+
+class FullSystem:
+    def __init__(self, settings: Settings, calib: PyramidCalib, gamma_b_grad=None):
+        self.s = settings
+        self.calib = calib
+        self.gamma_b_grad = (
+            jnp.asarray(gamma_b_grad, jnp.float32) if gamma_b_grad is not None else None
+        )
+        h0, w0 = calib.h[0], calib.w[0]
+        self.window = WindowOptimizer(settings, calib.value_vec(), (h0, w0))
+        self.initializer = CoarseInitializer(calib, settings)
+        self.selector = PixelSelector(w0, h0, settings)
+        self.initialized = False
+        self.is_lost = False
+        self.init_failed = False
+        self.all_shells: list[FrameShell] = []
+        self.all_kf_shells: list[FrameShell] = []
+        self.immatures: list[ImmatureStore] = []   # parallel to window.frames
+        self.frame_pyramids = {}                    # window idx -> (dIs, absgrads)
+        self.current_min_act_dist = 2.0
+        self.first_coarse_rmse = -1.0
+        self.last_coarse_rmse = np.full(calib.levels, 100.0)
+        self.tracker_ref = None
+        self._track_fns = {}
+        self.statistics = dict(n_keyframes=0, n_frames=0, n_points_activated=0)
+        self.shapes = tuple((calib.h[l], calib.w[l]) for l in range(calib.levels))
+        self.Ks = tuple(
+            (float(calib.fx[l]), float(calib.fy[l]), float(calib.cx[l]), float(calib.cy[l]))
+            for l in range(calib.levels)
+        )
+        am = (settings.affine_opt_mode_a < 0, settings.affine_opt_mode_b < 0)
+        self._affine_mode = {(False, False): 0, (False, True): 1,
+                             (True, False): 2, (True, True): 3}[am]
+
+    # ==================================================================
+    # Frame entry point (addActiveFrame :1034)
+    # ==================================================================
+    def add_frame(self, image, exposure: float = 1.0, timestamp: float = 0.0,
+                  incoming_id: int = -1, mask=None, bgr=None):
+        if self.is_lost:
+            return
+        shell = FrameShell(len(self.all_shells), incoming_id, timestamp)
+        self.all_shells.append(shell)
+        self.statistics["n_frames"] += 1
+        dIs, absgrads = build_pyramid(
+            jnp.asarray(image, jnp.float32), self.calib.levels, self.gamma_b_grad
+        )
+        frame = dict(shell=shell, dIs=dIs, absgrads=absgrads,
+                     exposure=exposure, mask=mask, bgr=bgr)
+
+        if not self.initialized:
+            if self.initializer.frame_id < 0:
+                self.initializer.set_first(dIs, absgrads, exposure)
+                self._init_first_frame = frame
+            elif self.initializer.track_frame(dIs, exposure):
+                self._initialize_from_initializer(frame)
+            else:
+                shell.poseValid = False
+            return
+
+        tres = self._track_new_coarse(frame)
+        if not np.all(np.isfinite(tres)):
+            self.is_lost = True
+            return
+
+        # KF decision (:1113-1132)
+        s = self.s
+        ref = self.tracker_ref
+        w0, h0 = self.calib.w[0], self.calib.h[0]
+        rel_a, _ = self._aff_pair(ref["exposure"], frame["exposure"],
+                                  ref["aff"], shell.aff_g2l)
+        need_kf = (
+            len(self.all_shells) == 1
+            or s.kf_global_weight * s.max_shift_weight_t * np.sqrt(tres[1]) / (w0 + h0)
+            + s.kf_global_weight * s.max_shift_weight_rt * np.sqrt(tres[2]) / (w0 + h0)
+            + s.kf_global_weight * s.max_affine_weight * abs(np.log(rel_a)) > 1
+            or 2 * self.first_coarse_rmse < tres[0]
+        )
+        if need_kf:
+            self._make_keyframe(frame)
+        else:
+            self._make_non_keyframe(frame)
+
+    @staticmethod
+    def _aff_pair(exp_f, exp_t, aff_f, aff_t):
+        ef = exp_f if exp_f > 0 else 1.0
+        et = exp_t if exp_t > 0 else 1.0
+        a = np.exp(aff_t[0] - aff_f[0]) * et / ef
+        return a, aff_t[1] - a * aff_f[1]
+
+    # ==================================================================
+    # Initialization (initializeFromInitializer :1567)
+    # ==================================================================
+    def _initialize_from_initializer(self, new_frame):
+        ini = self.initializer
+        s = self.s
+        first = self._init_first_frame
+        fs = FrameState(0, first["shell"], first["exposure"], s)
+        fs.set_eval_pt_scaled(SE3(), 0.0, 0.0)
+        self.all_kf_shells.append(first["shell"])
+        self.window.insert_frame(fs, first["dIs"][0])
+        self.immatures.append(ImmatureStore(s.max_immature_per_frame))
+        self.frame_pyramids[id(fs)] = (first["dIs"], first["absgrads"])
+
+        d = ini.pts[0]
+        n = d["n"]
+        good = d["valid"][:n]
+        iR = d["iR"][:n]
+        rescale = 1.0 / max(float(iR[good].mean()), 1e-6)
+        keep_pct = s.desired_point_density / max(n, 1)
+        rng = np.random.default_rng(s.seed)
+        keep = good & (rng.random(n) <= keep_pct)
+        u = d["u"][:n][keep] + 0.5
+        v = d["v"][:n][keep] + 0.5
+        col, wgt, _, ok = imm.make_immature_data(
+            first["dIs"][0], jnp.asarray(u), jnp.asarray(v)
+        )
+        col, wgt, ok = np.asarray(col), np.asarray(wgt), np.asarray(ok)
+        idepth = (iR[keep] * rescale).astype(np.float32)
+        eth = np.full(len(u), 8 * s.outlier_th * s.overall_energy_th_weight**2, np.float32)
+        sel = ok & np.isfinite(idepth)
+        slots = self.window.insert_points(
+            0, u[sel], v[sel], col[sel], wgt[sel], idepth[sel], eth[sel],
+            my_type=d["my_type"][:n][keep][sel], has_prior=True,
+        )
+
+        first_to_new = SE3(ini.this_to_next.R, ini.this_to_next.t / rescale)
+        first["shell"].camToWorld = SE3()
+        first["shell"].aff_g2l = (0.0, 0.0)
+        new_frame["shell"].camToWorld = first_to_new.inverse()
+        new_frame["shell"].aff_g2l = (0.0, 0.0)
+        new_frame["shell"].trackingRef = first["shell"]
+        new_frame["shell"].camToTrackingRef = first_to_new.inverse()
+        self.initialized = True
+        self._make_keyframe(new_frame)
+
+    # ==================================================================
+    # Coarse tracking (trackNewCoarse :502)
+    # ==================================================================
+    def _motion_hypotheses(self):
+        """The 27-candidate ladder (:516-580)."""
+        shells = self.all_shells
+        ref_shell = self.tracker_ref["shell"]
+        if len(shells) < 3:
+            return [SE3()]
+        slast = shells[-2]
+        sprelast = shells[-3]
+        if not (slast.poseValid and sprelast.poseValid and ref_shell.poseValid):
+            return [SE3()]
+        slast_2_sprelast = sprelast.camToWorld.inverse() * slast.camToWorld
+        lastF_2_slast = slast.camToWorld.inverse() * ref_shell.camToWorld
+        fh_2_slast = slast_2_sprelast
+        const = fh_2_slast.inverse() * lastF_2_slast
+        tries = [
+            const,
+            fh_2_slast.inverse() * fh_2_slast.inverse() * lastF_2_slast,
+            SE3.exp(fh_2_slast.log() * 0.5).inverse() * lastF_2_slast,
+            lastF_2_slast,
+            SE3(),
+        ]
+        rd = 0.02
+        for sx in (rd, -rd, 0):
+            for sy in (rd, -rd, 0):
+                for sz in (rd, -rd, 0):
+                    if sx == sy == sz == 0:
+                        continue
+                    tries.append(const * SE3.rot_xyzw(sx, sy, sz, 1.0))
+        return tries
+
+    def _get_track_fn(self, batched: bool):
+        key = batched
+        if key not in self._track_fns:
+            fn = make_track_fn(self.shapes, self.Ks, self.s, self._affine_mode)
+            if batched:
+                fn = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, None, None)))
+            else:
+                fn = jax.jit(fn)
+            self._track_fns[key] = fn
+        return self._track_fns[key]
+
+    def _run_track(self, R0s, t0s, ab0s, new_dIs, batched: bool):
+        ref = self.tracker_ref
+        exps = jnp.asarray([ref["exposure"], self._cur_exposure], jnp.float32)
+        ref_aff = jnp.asarray(ref["aff"], jnp.float32)
+        fn = self._get_track_fn(batched)
+        return fn(R0s, t0s, ab0s, ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
+
+    def _track_new_coarse(self, frame):
+        shell = frame["shell"]
+        ref = self.tracker_ref
+        self._cur_exposure = frame["exposure"]
+        tries = self._motion_hypotheses()
+        aff0 = np.asarray(ref["aff_last"], np.float32)
+
+        # fast path: first hypothesis only (reference always breaks at :655
+        # when it beats 1.5x the previous RMSE)
+        R0, t0 = tries[0].Rt32()
+        R, t, ab, res, flow, ok = self._run_track(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False
+        )
+        res = np.asarray(res)
+        best = (np.asarray(R, np.float64), np.asarray(t, np.float64),
+                np.asarray(ab, np.float64), res, np.asarray(flow))
+        good = bool(ok) and np.isfinite(res[0])
+        if not (good and res[0] < self.last_coarse_rmse[0] * self.s.re_track_threshold):
+            n = len(tries)
+            Rs = np.stack([x.Rt32()[0] for x in tries])
+            ts = np.stack([x.Rt32()[1] for x in tries])
+            abs_ = np.tile(aff0, (n, 1))
+            Rb, tb, abb, resb, flowb, okb = self._run_track(
+                jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_), frame["dIs"], True
+            )
+            resb = np.asarray(resb)
+            okb = np.asarray(okb) & np.isfinite(resb[:, 0])
+            if okb.any():
+                cand = np.where(okb, resb[:, 0], np.inf)
+                bi = int(np.argmin(cand))
+                best = (np.asarray(Rb[bi], np.float64), np.asarray(tb[bi], np.float64),
+                        np.asarray(abb[bi], np.float64), resb[bi], np.asarray(flowb[bi]))
+                good = True
+            else:
+                good = False
+
+        Rw, tw, abw, resw, floww = best
+        if not good:
+            # BIG ERROR fallback (:658-664): take predicted pose
+            Rw, tw = tries[0].R, tries[0].t
+            abw = aff0.astype(np.float64)
+            floww = np.zeros(2)
+            resw = np.full(self.calib.levels, np.nan)
+
+        lastF_2_fh = SE3(Rw, tw)
+        shell.camToTrackingRef = lastF_2_fh.inverse()
+        shell.trackingRef = ref["shell"]
+        shell.aff_g2l = (float(abw[0]), float(abw[1]))
+        shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+
+        ach = np.where(np.isfinite(resw[: len(self.last_coarse_rmse)]),
+                       resw[: len(self.last_coarse_rmse)], self.last_coarse_rmse)
+        self.last_coarse_rmse = np.minimum(
+            np.where(np.isfinite(ach), ach, 100.0), 1e10
+        )
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = float(self.last_coarse_rmse[0])
+        return np.array([resw[0] if np.isfinite(resw[0]) else np.nan,
+                         floww[0], floww[1]])
+
+    # ==================================================================
+    # Immature tracing (traceNewCoarse :702)
+    # ==================================================================
+    def _trace_new_coarse(self, frame):
+        nf = self.window.n_frames
+        if nf == 0:
+            return
+        F, M = self.window.F, self.s.max_immature_per_frame
+        c = self.calib
+        Km = c.K[0]
+        Ki = c.Ki[0]
+        KRKi = np.zeros((F, 3, 3), np.float32)
+        Kt = np.zeros((F, 3), np.float32)
+        affs = np.zeros((F, 2), np.float32)
+        new_w2c = frame["shell"].camToWorld.inverse()
+        for h in range(nf):
+            host = self.window.frames[h]
+            h2n = new_w2c * host.PRE_camToWorld
+            KRKi[h] = Km @ h2n.R @ Ki
+            Kt[h] = Km @ h2n.t
+            affs[h] = self._aff_pair(host.ab_exposure, frame["exposure"],
+                                     host.aff_g2l(), frame["shell"].aff_g2l)
+
+        # flatten per-frame stores into (F*M, ...) with padding
+        def flat(field, fill=0):
+            proto = getattr(self.immatures[0], field)
+            out = np.full((F, M) + proto.shape[1:], fill, proto.dtype)
+            for h in range(nf):
+                out[h] = getattr(self.immatures[h], field)
+            return out.reshape((F * M,) + proto.shape[1:])
+
+        valid = flat("valid")
+        hosts = np.repeat(np.arange(F, dtype=np.int32), M)
+        res = imm.trace_points(
+            frame["dIs"][0],
+            jnp.asarray(flat("u")), jnp.asarray(flat("v")),
+            jnp.asarray(flat("color")), jnp.asarray(flat("weights")),
+            jnp.asarray(flat("gradH")),
+            jnp.asarray(flat("idepth_min")), jnp.asarray(flat("idepth_max", np.nan)),
+            jnp.asarray(flat("status", imm.IPS_OOB)), jnp.asarray(flat("quality")),
+            jnp.asarray(flat("energy_th")),
+            jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affs),
+            jnp.asarray(hosts),
+            self.s.max_pix_search,
+            huber_th=self.s.huber_th, w_img=c.w[0], h_img=c.h[0],
+        )
+        id_min, id_max, status, quality, interval, lu, lv = [np.asarray(r) for r in res]
+        for h in range(nf):
+            st = self.immatures[h]
+            sl = slice(h * M, (h + 1) * M)
+            upd = st.valid
+            st.idepth_min = np.where(upd, id_min[sl], st.idepth_min)
+            st.idepth_max = np.where(upd, id_max[sl], st.idepth_max)
+            st.status = np.where(upd, status[sl], st.status)
+            st.quality = np.where(upd, quality[sl], st.quality)
+            st.pixel_interval = np.where(upd, interval[sl], st.pixel_interval)
+
+    # ==================================================================
+    # Keyframe pipeline (makeKeyFrame :1279)
+    # ==================================================================
+    def _make_keyframe(self, frame):
+        s = self.s
+        shell = frame["shell"]
+        if shell.trackingRef is not None:
+            shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+
+        self._trace_new_coarse(frame)
+        self._flag_frames_for_marginalization()
+
+        fs = FrameState(len(self.all_kf_shells), shell, frame["exposure"], s)
+        fs.set_eval_pt_scaled(shell.camToWorld.inverse(), *shell.aff_g2l)
+        self.all_kf_shells.append(shell)
+        new_idx = self.window.insert_frame(fs, frame["dIs"][0])
+        self.immatures.append(ImmatureStore(s.max_immature_per_frame))
+        self.frame_pyramids[id(fs)] = (frame["dIs"], frame["absgrads"])
+        self.statistics["n_keyframes"] += 1
+
+        # residuals from all existing points to the new frame (:1334-1348)
+        p = self.window.pts
+        existing = np.nonzero(p.active)[0]
+        if len(existing):
+            self.window.add_residuals(existing, new_idx)
+
+        self._activate_points()
+
+        fs.frame_energy_th = self.window.frames[-2].frame_energy_th if self.window.n_frames > 1 else fs.frame_energy_th
+        rmse = self.window.optimize(s.max_opt_iterations)
+
+        # init-failure checks (:1370-1387)
+        nkf = len(self.all_kf_shells)
+        slack = s.benchmark_initializer_slack_factor
+        if nkf <= 4 and (
+            (nkf == 2 and rmse > 20 * slack)
+            or (nkf == 3 and rmse > 13 * slack)
+            or (nkf == 4 and rmse > 9 * slack)
+        ):
+            self.init_failed = True
+        if not np.isfinite(rmse):
+            self.is_lost = True
+            return rmse
+
+        self._remove_outliers()
+        self._set_tracker_ref(frame)
+        self._flag_points_for_removal()
+        self.window.nullspaces()
+        self.window.marginalize_points(p.status == 1)
+        p.status[:] = 0
+        self._make_new_traces(frame, new_idx)
+
+        # marginalize flagged frames (:1506-1508)
+        i = 0
+        while i < self.window.n_frames:
+            if self.window.frames[i].flagged_for_marg:
+                self._marginalize_frame(i)
+                i = 0
+            else:
+                i += 1
+        return rmse
+
+    def _make_non_keyframe(self, frame):
+        shell = frame["shell"]
+        if shell.trackingRef is not None:
+            shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+        self._trace_new_coarse(frame)
+
+    # ------------------------------------------------------------------
+    def _flag_frames_for_marginalization(self):
+        """Reference FullSystemMarginalize.cpp:58-147."""
+        s = self.s
+        frames = self.window.frames
+        p = self.window.pts
+        flagged = 0
+        latest = frames[-1] if frames else None
+        # faithful variant of the point-fraction rule: a frame with almost no
+        # live points, or a large brightness gap to the latest KF, goes first
+        n = len(frames)
+        for i, fh in enumerate(frames):
+            in_pts = int((p.active & (p.host == i)).sum()) + int(self.immatures[i].valid.sum())
+            rel_a, _ = self._aff_pair(latest.ab_exposure, fh.ab_exposure,
+                                      latest.aff_g2l(), fh.aff_g2l())
+            if ((in_pts < 8 or abs(np.log(rel_a)) > s.max_log_aff_fac_in_window)
+                    and n - flagged > s.min_frames):
+                fh.flagged_for_marg = True
+                flagged += 1
+        if n - flagged >= s.max_frames:
+            # distance-score rule (:107-147)
+            smallest = 1.0
+            to_marg = None
+            latest_id = frames[-1].frame_id
+            for fh in frames:
+                if fh.frame_id > latest_id - s.min_frame_age or fh.frame_id == 0:
+                    continue
+                dist_score = 0.0
+                t_f = fh.PRE_camToWorld.t
+                for other in frames[:-1]:
+                    if other is fh:
+                        continue
+                    d = np.linalg.norm(
+                        (other.PRE_worldToCam * fh.PRE_camToWorld).t
+                    )
+                    dist_score += 1.0 / (1e-5 + d)
+                d_latest = np.linalg.norm(
+                    (frames[-1].PRE_worldToCam * fh.PRE_camToWorld).t
+                )
+                dist_score *= -np.sqrt(d_latest)
+                if dist_score < smallest:
+                    smallest = dist_score
+                    to_marg = fh
+            if to_marg is not None:
+                to_marg.flagged_for_marg = True
+
+    # ------------------------------------------------------------------
+    def _activate_points(self):
+        """activatePointsMT (:764-934)."""
+        s = self.s
+        w = self.window
+        p = w.pts
+        n_pts = p.n_active()
+        want = s.desired_point_density
+        # density feedback (:767-788)
+        if n_pts < want * 0.66:
+            self.current_min_act_dist -= 0.8
+        if n_pts < want * 0.8:
+            self.current_min_act_dist -= 0.5
+        elif n_pts < want * 0.9:
+            self.current_min_act_dist -= 0.2
+        elif n_pts < want:
+            self.current_min_act_dist -= 0.1
+        if n_pts > want * 1.5:
+            self.current_min_act_dist += 0.8
+        if n_pts > want * 1.3:
+            self.current_min_act_dist += 0.5
+        if n_pts > want * 1.15:
+            self.current_min_act_dist += 0.2
+        if n_pts > want:
+            self.current_min_act_dist += 0.1
+        self.current_min_act_dist = float(np.clip(self.current_min_act_dist, 0, 4))
+
+        nf = w.n_frames
+        if nf < 2:
+            return
+        newest = nf - 1
+        c = self.calib
+        h1, w1 = c.h[1], c.w[1]
+        K1 = c.K[1]
+        Ki0 = c.Ki[0]
+
+        # project existing active points into newest (level 1)
+        new_fs = w.frames[newest]
+        pu_l, pv_l, pvalid = [], [], []
+        cand_data = []
+        for h in range(nf):
+            host = w.frames[h]
+            if h == newest:
+                continue
+            h2n = new_fs.PRE_worldToCam * host.PRE_camToWorld
+            KRKi1 = K1 @ h2n.R @ Ki0
+            Kt1 = K1 @ h2n.t
+            msk = p.active & (p.host == h)
+            if msk.any():
+                pts3 = (KRKi1 @ np.stack([p.u[msk], p.v[msk], np.ones(msk.sum())])).T \
+                    + Kt1[None, :] * p.idepth[msk][:, None]
+                uu = pts3[:, 0] / pts3[:, 2]
+                vv = pts3[:, 1] / pts3[:, 2]
+                ok = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+                pu_l.append(uu[ok]); pv_l.append(vv[ok])
+            # candidate immature points of this host
+            st = self.immatures[h]
+            iv = st.valid
+            # delete never-traced/outlier points (:824-830)
+            dead = iv & (~np.isfinite(st.idepth_max) | (st.status == imm.IPS_OUTLIER))
+            st.valid = iv & ~dead
+            can = st.valid & np.isin(
+                st.status, (imm.IPS_GOOD, imm.IPS_SKIPPED, imm.IPS_BADCONDITION, imm.IPS_OOB)
+            ) & (st.pixel_interval < 8) & (st.quality > s.min_trace_quality) \
+                & ((st.idepth_max + st.idepth_min) > 0)
+            # points on frames being marginalized that can't activate: delete
+            if w.frames[h].flagged_for_marg:
+                st.valid &= can  # keep only activatable ones for this round
+            idxs = np.nonzero(can)[0]
+            if len(idxs) == 0:
+                continue
+            idc = 0.5 * (st.idepth_max[idxs] + st.idepth_min[idxs])
+            pts3 = (KRKi1 @ np.stack([st.u[idxs], st.v[idxs], np.ones(len(idxs))])).T \
+                + Kt1[None, :] * idc[:, None]
+            uu = pts3[:, 0] / pts3[:, 2]
+            vv = pts3[:, 1] / pts3[:, 2]
+            inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+            # OOB candidates deleted (:873-877)
+            oob_idx = idxs[~inb]
+            st.valid[oob_idx] = False
+            for j, ui, vi in zip(idxs[inb], uu[inb], vv[inb]):
+                cand_data.append((h, j, ui, vi))
+        if not cand_data:
+            return
+
+        pu = np.concatenate(pu_l) if pu_l else np.zeros(0)
+        pv = np.concatenate(pv_l) if pv_l else np.zeros(0)
+        dmap = np.asarray(imm.distance_map(pu, pv, np.ones(len(pu), bool), h1, w1))
+
+        # greedy spacing: existing-point distance + candidate-candidate thinning
+        accepted = []
+        occ_u, occ_v = list(pu), list(pv)
+        occ = np.full((h1, w1), 1e4, np.float32)
+        for h, j, ui, vi in cand_data:
+            st = self.immatures[h]
+            need = self.current_min_act_dist * st.my_type[j]
+            d0 = dmap[int(vi), int(ui)] + (ui - np.floor(ui))
+            if d0 >= need and occ[int(vi), int(ui)] >= need:
+                accepted.append((h, j))
+                yy0 = max(int(vi) - 4, 0); yy1 = min(int(vi) + 5, h1)
+                xx0 = max(int(ui) - 4, 0); xx1 = min(int(ui) + 5, w1)
+                yy, xx = np.mgrid[yy0:yy1, xx0:xx1]
+                chev = np.maximum(np.abs(yy - int(vi)), np.abs(xx - int(ui)))
+                occ[yy0:yy1, xx0:xx1] = np.minimum(occ[yy0:yy1, xx0:xx1], chev)
+
+        if not accepted:
+            return
+        # batched idepth optimization
+        N = len(accepted)
+        cap = 4096
+        accepted = accepted[:cap]
+        N = len(accepted)
+        hosts = np.array([a[0] for a in accepted], np.int32)
+        ids = np.array([a[1] for a in accepted])
+        u = np.array([self.immatures[h].u[j] for h, j in accepted], np.float32)
+        v = np.array([self.immatures[h].v[j] for h, j in accepted], np.float32)
+        col = np.stack([self.immatures[h].color[j] for h, j in accepted])
+        wgt = np.stack([self.immatures[h].weights[j] for h, j in accepted])
+        eth = np.array([self.immatures[h].energy_th[j] for h, j in accepted], np.float32)
+        id0 = np.array(
+            [0.5 * (self.immatures[h].idepth_max[j] + self.immatures[h].idepth_min[j])
+             for h, j in accepted], np.float32)
+
+        F = w.F
+        PRE_R = np.zeros((F, F, 3, 3), np.float32)
+        PRE_t = np.zeros((F, F, 3), np.float32)
+        PRE_aff = np.zeros((F, F, 2), np.float32)
+        for hh in range(nf):
+            host = w.frames[hh]
+            for tt in range(nf):
+                target = w.frames[tt]
+                h2t = target.PRE_worldToCam * host.PRE_camToWorld
+                PRE_R[hh, tt] = h2t.R
+                PRE_t[hh, tt] = h2t.t
+                PRE_aff[hh, tt] = self._aff_pair(host.ab_exposure, target.ab_exposure,
+                                                 host.aff_g2l(), target.aff_g2l())
+        f_act = np.zeros(F, bool)
+        f_act[:nf] = True
+
+        pad = 256 * int(np.ceil(N / 256))
+        def padded(a, fill=0):
+            out = np.full((pad,) + a.shape[1:], fill, a.dtype)
+            out[:N] = a
+            return out
+
+        idepth, ok, res_in = imm.activate_points(
+            w.images,
+            jnp.asarray(padded(u)), jnp.asarray(padded(v)),
+            jnp.asarray(padded(col)), jnp.asarray(padded(wgt)),
+            jnp.asarray(padded(id0)), jnp.asarray(padded(hosts)),
+            jnp.asarray(padded(eth)),
+            jnp.asarray(PRE_R), jnp.asarray(PRE_t), jnp.asarray(PRE_aff),
+            jnp.asarray(f_act), jnp.asarray(w.calib_value, jnp.float32),
+            self.s.min_idepth_h_act,
+            iters=self.s.gn_its_on_point_activation,
+            huber_th=self.s.huber_th, w_img=self.calib.w[0], h_img=self.calib.h[0],
+        )
+        idepth = np.asarray(idepth)[:N]
+        ok = np.asarray(ok)[:N]
+        res_in = np.asarray(res_in)[:N]
+
+        # insert activated points
+        for hh in range(nf):
+            m = ok & (hosts == hh)
+            if not m.any():
+                continue
+            my_t = np.array([self.immatures[h].my_type[j] for (h, j), mm in zip(accepted, m) if mm],
+                            np.float32)
+            slots = w.insert_points(
+                hh, u[m], v[m], col[m], wgt[m], idepth[m], eth[m], my_type=my_t
+            )
+            tgt_lists = res_in[m][: len(slots)]
+            for si, slot in enumerate(slots):
+                for tt in range(nf):
+                    if tt != hh and tgt_lists[si, tt]:
+                        w.add_residuals(np.array([slot]), tt)
+            self.statistics["n_points_activated"] += len(slots)
+        # consume immature points that were optimized (activated or failed)
+        for (h, j), okj in zip(accepted, ok):
+            self.immatures[h].valid[j] = False
+
+    # ------------------------------------------------------------------
+    def _remove_outliers(self):
+        p = self.window.pts
+        no_res = p.active & ~p.r_exists.any(axis=1)
+        if no_res.any():
+            p.remove(np.nonzero(no_res)[0])
+
+    def _flag_points_for_removal(self):
+        """flagPointsForRemoval (:937-1030): status 1=marginalize, 2=drop."""
+        s = self.s
+        w = self.window
+        p = w.pts
+        flagged_hosts = np.array(
+            [f.flagged_for_marg for f in w.frames] + [False] * (w.F - w.n_frames)
+        )
+        act = p.active
+        n_res = (p.r_exists & (p.r_state == RES_IN)).sum(axis=1)
+        drop = act & ((p.idepth < 0) | (p.r_exists.sum(axis=1) == 0))
+        oob_like = act & ~drop & flagged_hosts[p.host]
+        # the reference's isOOB also checks residual visibility in marg
+        # frames; host-flagged covers the dominant path.
+        newest = w.n_frames - 1
+        last_out = (
+            (p.r_state[:, newest] == RES_OOB)
+            | ((p.r_state[:, newest] == RES_OUTLIER)
+               & (p.r_state[:, max(newest - 1, 0)] == RES_OUTLIER))
+        ) & p.r_exists[:, newest]
+        oob_like |= act & ~drop & last_out & (p.r_exists.sum(axis=1) >= 2)
+
+        is_inlier = (n_res >= s.min_good_active_res_for_marg) & (
+            p.num_good_res >= s.min_good_res_for_marg
+        )
+        marg = oob_like & is_inlier & (p.idepth_hessian > s.min_idepth_h_marg)
+        drop2 = oob_like & (~is_inlier | (p.idepth_hessian <= s.min_idepth_h_marg))
+        p.status[marg] = 1
+        p.status[drop | drop2] = 2
+        if (drop | drop2).any():
+            p.remove(np.nonzero(drop | drop2)[0])
+
+    # ------------------------------------------------------------------
+    def _set_tracker_ref(self, frame):
+        """setCoarseTrackingRef + makeCoarseDepthL0 (:1402-1404, :382-538)."""
+        w = self.window
+        p = w.pts
+        newest = w.n_frames - 1
+        # points with IN residual to the newest frame; projection from the
+        # final linearization (centerProjectedTo)
+        m = p.active & p.r_exists[:, newest] & (p.r_state[:, newest] == RES_IN)
+        cp = w._last_center_proj[:, newest]
+        hdif = np.divide(1.0, p.idepth_hessian, out=np.zeros_like(p.idepth_hessian), where=p.idepth_hessian > 0)
+        weight = np.sqrt(1e-3 / (hdif + 1e-12)).astype(np.float32)
+        maps = make_coarse_depth_maps(
+            jnp.asarray(cp[:, 0]), jnp.asarray(cp[:, 1]), jnp.asarray(cp[:, 2]),
+            jnp.asarray(weight), jnp.asarray(m),
+            self.frame_pyramids[id(w.frames[newest])][0], self.shapes,
+        )
+        dIs = self.frame_pyramids[id(w.frames[newest])][0]
+        colors = tuple(dIs[l][..., 0] for l in range(self.calib.levels))
+        fs = w.frames[newest]
+        self.tracker_ref = dict(
+            shell=fs.shell, maps=tuple(maps), colors=colors,
+            aff=fs.aff_g2l(), aff_last=fs.aff_g2l(), exposure=fs.ab_exposure,
+        )
+
+    # ------------------------------------------------------------------
+    def _make_new_traces(self, frame, new_idx):
+        """makeNewTraces (:1656-1690): pixel selection -> immature points."""
+        s = self.s
+        dIs, absgrads = frame["dIs"], frame["absgrads"]
+        status = self.selector.make_maps(
+            np.asarray(dIs[0]), [np.asarray(a) for a in absgrads],
+            s.desired_immature_density, frame_id=frame["shell"].id,
+        )
+        if s.use_lidar and frame.get("mask") is not None:
+            status = self.selector.fuse_with_mask(status, frame["mask"])
+        h0, w0 = self.calib.h[0], self.calib.w[0]
+        ys, xs = np.nonzero(status)
+        keep = (xs >= 3) & (xs < w0 - 4) & (ys >= 3) & (ys < h0 - 4)
+        ys, xs = ys[keep], xs[keep]
+        types = status[ys, xs]
+        M = s.max_immature_per_frame
+        if len(xs) > M:
+            sel = self.selector.rng.choice(len(xs), M, replace=False)
+            xs, ys, types = xs[sel], ys[sel], types[sel]
+        st = self.immatures[new_idx]
+        n = len(xs)
+        col, wgt, gradH, ok = imm.make_immature_data(
+            dIs[0], jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32)
+        )
+        col, wgt, gradH, ok = map(np.asarray, (col, wgt, gradH, ok))
+        st.valid[:n] = ok[:n]
+        st.u[:n] = xs
+        st.v[:n] = ys
+        st.color[:n] = col[:n]
+        st.weights[:n] = wgt[:n]
+        st.gradH[:n] = gradH[:n]
+        st.idepth_min[:n] = 0.0
+        st.idepth_max[:n] = np.nan
+        st.status[:n] = imm.IPS_UNINITIALIZED
+        st.quality[:n] = 10000.0
+        st.my_type[:n] = types[:n]
+        st.energy_th[:n] = 8 * s.outlier_th * s.overall_energy_th_weight**2
+
+    # ------------------------------------------------------------------
+    def _marginalize_frame(self, idx):
+        w = self.window
+        p = w.pts
+        # drop residuals targeting this frame (FullSystemMarginalize :152-215)
+        tgt = p.r_exists[:, idx]
+        p.r_exists[:, idx] = False
+        p.r_active[:, idx] = False
+        p.r_linearized[:, idx] = False
+        p.r_state[:, idx] = RES_NONE
+        fs = w.frames[idx]
+        fs.shell.marginalizedAt = self.all_shells[-1].id
+        self.frame_pyramids.pop(id(fs), None)
+        w.marginalize_frame(idx)
+        del self.immatures[idx]
+
+    # ==================================================================
+    def trajectory(self):
+        """TUM-format rows (printResult :445-499)."""
+        rows = []
+        for sh in self.all_shells:
+            if not sh.poseValid:
+                continue
+            q = sh.camToWorld.quaternion_xyzw()
+            t = sh.camToWorld.t
+            rows.append((sh.timestamp, t[0], t[1], t[2], q[0], q[1], q[2], q[3]))
+        return rows
