@@ -1,0 +1,65 @@
+"""Benchmark: tracked frames/sec of the full SLAM pipeline on synthetic
+KITTI-resolution data (single chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the 30 fps real-time north-star
+(BASELINE.md: >=30 fps tracking on one v5e chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from nalo_slam_tpu.config import Settings
+    from nalo_slam_tpu.geometry import SE3, PyramidCalib
+    from nalo_slam_tpu.system import FullSystem
+    from nalo_slam_tpu.utils.synthetic import PlaneScene
+
+    w, h = 640, 480  # KITTI-class workload; scale via env later
+    calib = PyramidCalib.make(w, h, 520.0, 520.0, (w - 1) / 2, (h - 1) / 2)
+    scene = PlaneScene(calib, z0=4.0)
+    s = Settings(
+        max_window_frames=8,
+        max_points=4096,
+        max_immature_per_frame=2048,
+        desired_point_density=2000.0,
+        desired_immature_density=1500.0,
+        use_lidar=False, dense_track=False, plane_optimize=False,
+    )
+
+    n_frames = 45
+    frames = []
+    for k in range(n_frames):
+        xi = np.array([0.07 * k, 0.01 * np.sin(0.2 * k), 0.015 * k,
+                       0.0, 0.003 * np.sin(0.11 * k), 0.0])
+        img, _ = scene.render(SE3.exp(xi))
+        frames.append(img)
+
+    sys_ = FullSystem(s, calib)
+    frame_times = []
+    for k, img in enumerate(frames):
+        t0 = time.perf_counter()
+        sys_.add_frame(img, exposure=1.0, timestamp=float(k), incoming_id=k)
+        frame_times.append(time.perf_counter() - t0)
+        if sys_.is_lost:
+            break
+
+    # steady-state: skip warmup/compile/init frames, take the median
+    post = [t for t in frame_times[12:] if t > 0]
+    med = float(np.median(post)) if post else float("inf")
+    fps = 1.0 / med if med > 0 else 0.0
+    print(json.dumps({
+        "metric": "tracked_fps_synthetic_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

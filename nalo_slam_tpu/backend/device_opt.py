@@ -1,0 +1,421 @@
+"""Whole-window GN optimization as ONE device program.
+
+The host implementation in energy.py mirrors the reference's structure
+(float accumulate, float64 stitch on the host).  On hardware where every
+host<->device round trip costs tens of milliseconds, the per-iteration
+host solve dominates; this module runs the ENTIRE optimize() loop --
+linearize, state machine, frame-energy threshold, 13x13 pair accumulation,
+Schur accumulation, stitch, damped solve, nullspace projection of the
+step, resubstitution, state update and convergence test -- inside a single
+jitted lax.while_loop.  One device call per keyframe.
+
+Everything is masked-dynamic in the number of frames (one compile serves
+all window sizes).  The 68x68 solve runs in f32 with the reference's own
+SVec Jacobi conditioning (solveSystemF :894-899); the long-lived
+marginalization prior HM/bM stays on the host in float64 and enters as a
+constant of the loop, so f32 noise cannot accumulate across keyframes.
+
+Numerical parity with the float64 host path is covered by
+tests/test_device_opt.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CPARS, SCALE_A, SCALE_B, SCALE_XI_TRANS
+from ..geometry import lie
+from . import ba_kernels as K
+from .ba_kernels import RES_IN, RES_OOB, RES_OUTLIER
+
+RES_NONE = 3
+
+
+def _pair_poses_fixed(states, evalR, evalt):
+    dR, dt = lie.se3_exp(states[:, :6])
+    Rw = jnp.einsum("fij,fjk->fik", dR, evalR, precision="highest")
+    tw = jnp.einsum("fij,fj->fi", dR, evalt, precision="highest") + dt
+    Rc = jnp.swapaxes(Rw, -1, -2)
+    tc = -jnp.einsum("fij,fj->fi", Rc, tw, precision="highest")
+    Rl = jnp.einsum("tij,hjk->htik", Rw, Rc, precision="highest")
+    # tl[h,t] = R_t @ tc_h + tw_t
+    tl = jnp.einsum("tij,hj->hti", Rw, tc, precision="highest") + tw[None, :, :]
+    return Rw, tw, Rl, tl
+
+
+def _aff_pair_dev(exp_f, exp_t, a_f, b_f, a_t, b_t):
+    ef = jnp.where(exp_f == 0, 1.0, exp_f)
+    et = jnp.where(exp_t == 0, 1.0, exp_t)
+    a = jnp.exp(a_t - a_f) * et / ef
+    return a, b_t - a * b_f
+
+
+def _precalc_dev(states, evalR, evalt, calib_value, exposures):
+    """PRE_KRKi / PRE_Kt / PRE_aff at the current states (device)."""
+    F = states.shape[0]
+    _, _, Rl, tl = _pair_poses_fixed(states, evalR, evalt)
+    fx, fy, cx, cy = calib_value[0], calib_value[1], calib_value[2], calib_value[3]
+    Km = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    Km = Km.at[0, 0].set(fx).at[1, 1].set(fy).at[0, 2].set(cx).at[1, 2].set(cy)
+    Ki = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    Ki = Ki.at[0, 0].set(1 / fx).at[1, 1].set(1 / fy).at[0, 2].set(-cx / fx).at[1, 2].set(-cy / fy)
+    KRKi = jnp.einsum("ij,htjk,kl->htil", Km, Rl, Ki, precision="highest")
+    Kt = jnp.einsum("ij,htj->hti", Km, tl, precision="highest")
+    a_h = states[:, 6]
+    b_h = states[:, 7]
+    aff_a, aff_b = _aff_pair_dev(
+        exposures[:, None], exposures[None, :],
+        a_h[:, None], b_h[:, None], a_h[None, :], b_h[None, :],
+    )
+    aff = jnp.stack([aff_a, aff_b], axis=-1)
+    return KRKi, Kt, aff
+
+
+def _stitch_top_dev(acc, adH, adT, F):
+    """Vectorized stitchDouble; returns blocks: HCC (4,4), HfC (F,8,4),
+    Hpp (F,F,8,8) symmetric-complete, bC (4,), bf (F,8)."""
+    A = acc.reshape(F, F, 13, 13)
+    A8 = A[..., 4:12, 4:12]
+    A8C = A[..., 4:12, 0:4]
+    ACC = jnp.sum(A[..., 0:4, 0:4], axis=(0, 1))
+    b8 = A[..., 4:12, 12]
+    bc = jnp.sum(A[..., 0:4, 12], axis=(0, 1))
+
+    diag_h = jnp.einsum("htij,htjk,htlk->hil", adH, A8, adH, precision="highest")
+    diag_t = jnp.einsum("htij,htjk,htlk->til", adT, A8, adT, precision="highest")
+    off = jnp.einsum("htij,htjk,htlk->htil", adH, A8, adT, precision="highest")
+    eyeF = jnp.eye(F, dtype=acc.dtype)
+    S = off.at[jnp.arange(F), jnp.arange(F)].add(diag_h + diag_t)
+    # symmetric completion (reference :213-224): M[h,t] = S[h,t] + S[t,h]^T
+    # off-diagonal; the diagonal blocks are already symmetric and counted once
+    bT = S.transpose(1, 0, 3, 2)
+    Hpp = S + bT - eyeF[:, :, None, None] * S
+
+    HfC = (
+        jnp.einsum("htij,htjk->hik", adH, A8C, precision="highest")
+        + jnp.einsum("htij,htjk->tik", adT, A8C, precision="highest")
+    )
+    bf = (
+        jnp.einsum("htij,htj->hi", adH, b8, precision="highest")
+        + jnp.einsum("htij,htj->ti", adT, b8, precision="highest")
+    )
+    return ACC, HfC, Hpp, bc, bf
+
+
+def _stitch_sc_dev(accD, accE, accEB, accHcc, accbc, adH, adT, F):
+    E1 = jnp.einsum("ijab,ijkbc,ikdc->iad", adH, accD, adH, precision="highest")
+    E2 = jnp.einsum("ijab,ijkbc,ikdc->jkad", adT, accD, adT, precision="highest")
+    E3 = jnp.einsum("ijab,ijkbc,ikdc->jiad", adT, accD, adH, precision="highest")
+    E4 = jnp.einsum("ijab,ijkbc,ikdc->ikad", adH, accD, adT, precision="highest")
+    Hpp = E2 + E3 + E4
+    Hpp = Hpp.at[jnp.arange(F), jnp.arange(F)].add(E1)
+    HfC = (
+        jnp.einsum("ijab,ijbc->iac", adH, accE, precision="highest")
+        + jnp.einsum("ijab,ijbc->jac", adT, accE, precision="highest")
+    )
+    bf = (
+        jnp.einsum("ijab,ijb->ia", adH, accEB, precision="highest")
+        + jnp.einsum("ijab,ijb->ja", adT, accEB, precision="highest")
+    )
+    return accHcc, HfC, Hpp, accbc, bf
+
+
+def _dense(HCC, HfC, Hpp, F):
+    n = CPARS + 8 * F
+    top = jnp.concatenate([HCC, HfC.reshape(8 * F, CPARS).T], axis=1)
+    bottom = jnp.concatenate(
+        [HfC.reshape(8 * F, CPARS),
+         jnp.swapaxes(Hpp, 1, 2).reshape(8 * F, 8 * F)], axis=1
+    )
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def _vec(bC, bf):
+    return jnp.concatenate([bC, bf.reshape(-1)])
+
+
+def make_device_optimizer(settings, F: int, P: int):
+    """Factory: returns optimize(inputs dict) -> outputs dict, fully jitted."""
+    s = settings
+    lam = 1e-5  # SOLVER_FIX_LAMBDA
+    n = CPARS + 8 * F
+    ab_zero = jnp.asarray(
+        [0.0 if s.affine_opt_mode_a < 0 else 1.0,
+         0.0 if s.affine_opt_mode_b < 0 else 1.0], jnp.float32)
+
+    def linearize(images, pts, res, jstore, states, inp, f_eth):
+        KRKi, Kt, aff = _precalc_dev(states, inp["evalR"], inp["evalt"],
+                                     inp["calib_value"], inp["exposures"])
+        out = K.linearize_residuals(
+            images,
+            pts["u"], pts["v"], pts["idepth"], pts["idepth_zero"],
+            pts["color"], pts["weights"], pts["host"], pts["energy_th"],
+            res["exists"], res["state"],
+            PRE_R0=inp["PRE_R0"], PRE_t0=inp["PRE_t0"],
+            PRE_KRKi=KRKi, PRE_Kt=Kt, PRE_aff=aff, PRE_b0=inp["aff0_b"],
+            f_energy_th=f_eth,
+            calib=inp["calib_value"],
+            outlier_th_sum=s.outlier_th_sum_component,
+            huber_th=s.huber_th,
+            ab_zero=ab_zero,
+        )
+        return out
+
+    def frame_energy_th(out, res, newest, f_eth):
+        """setNewFrameEnergyTH on device."""
+        act = res["exists"] & ~res["linearized"]
+        col = jax.lax.dynamic_index_in_dim(jnp.swapaxes(out["energy_raw"], 0, 1), newest, 0, keepdims=False)
+        mcol = jax.lax.dynamic_index_in_dim(jnp.swapaxes(act, 0, 1), newest, 0, keepdims=False)
+        mcol = mcol & (jax.lax.dynamic_index_in_dim(jnp.swapaxes(res["state"], 0, 1), newest, 0, keepdims=False) != RES_OOB)
+        cnt = jnp.sum(mcol)
+        vals = jnp.where(mcol, col, jnp.inf)
+        srt = jnp.sort(vals)
+        idx = jnp.clip((s.frame_energy_th_n * cnt).astype(jnp.int32),
+                       0, P - 1)
+        nth = jnp.where(cnt > 0, srt[idx], 12.0 * 12.0 * 8.0)
+        th = jnp.sqrt(nth) * s.frame_energy_th_fac_median
+        th = 26.0 * s.frame_energy_th_const_weight + th * (1 - s.frame_energy_th_const_weight)
+        th = th * th * s.overall_energy_th_weight**2
+        return f_eth.at[newest].set(th)
+
+    def apply_res(out, res, jstore):
+        act = res["exists"] & ~res["linearized"]
+        upd = act & (res["state"] != RES_OOB)
+        new_state = jnp.where(upd, out["new_state"], res["state"])
+        new_active = jnp.where(act, new_state == RES_IN, res["active"])
+        res2 = dict(res, state=new_state, active=new_active,
+                    energy=jnp.where(upd, out["energy"], res["energy"]))
+        updj = act & (new_state == RES_IN)
+        jstore2 = {}
+        for k2 in ("Jpdxi", "Jpdc", "Jpdd", "JIdx", "JabF", "resF",
+                   "JIdx2", "JabJIdx", "Jab2"):
+            extra = (1,) * (out[k2].ndim - 2)
+            jstore2[k2] = jnp.where(updj.reshape(updj.shape + extra), out[k2], jstore[k2])
+        jstore2["res_toZero"] = jstore["res_toZero"]
+        return res2, jstore2
+
+    def delta_pair(states, inp):
+        d = (states - inp["state_zero"])[:, :8]
+        return (
+            jnp.einsum("hk,htkj->htj", d, inp["adH"], precision="highest")
+            + jnp.einsum("tk,htkj->htj", d, inp["adT"], precision="highest")
+        )
+
+    def solve_iteration(it, states, calib_value, pts, res, jstore, inp):
+        dpair = delta_pair(states, inp)
+        c_delta = calib_value - inp["calib_zero"]
+        p_delta = pts["idepth"] - pts["idepth_zero"]
+
+        maskA = res["exists"] & ~res["linearized"] & res["active"]
+        maskL = res["exists"] & res["linearized"] & res["active"]
+
+        accA, nresA, HddA, bdA, HcdA = K.accumulate_top(
+            jstore, jstore["resF"], maskA, pts["host"], F)
+        resL = K.res_approx_mode1(jstore, dpair, pts["host"], c_delta, p_delta)
+        accL, nresL, HddL, bdL, HcdL = K.accumulate_top(
+            jstore, resL, maskL, pts["host"], F)
+
+        ACC_A, HfC_A, Hpp_A, bC_A, bf_A = _stitch_top_dev(accA, inp["adH"], inp["adT"], F)
+        ACC_L, HfC_L, Hpp_L, bC_L, bf_L = _stitch_top_dev(accL, inp["adH"], inp["adT"], F)
+
+        # priors on the L system (stitchDouble usePrior branch)
+        fdelta = states[:, :8]  # delta_prior (prior zero point is 0)
+        ACC_L = ACC_L + jnp.diag(inp["c_prior"])
+        bC_L = bC_L + inp["c_prior"] * c_delta
+        Hpp_L = Hpp_L.at[jnp.arange(F), jnp.arange(F)].add(
+            jax.vmap(jnp.diag)(inp["frame_prior"]))
+        bf_L = bf_L + inp["frame_prior"] * fdelta
+
+        # Schur
+        mask = maskA | maskL
+        ngood = jnp.sum(mask, axis=1)
+        Hdd = HddA + HddL + pts["prior"]
+        Hdd = jnp.maximum(Hdd, 1e-10)
+        HdiF = jnp.where(ngood > 0, 1.0 / Hdd, 0.0)
+        bdSum = bdA + bdL + pts["prior"] * p_delta
+        bdSum = jnp.where(ngood > 0, bdSum, 0.0)
+        Hcd = HcdA + HcdL
+        JpJdF = K.compute_JpJdF(jstore, F)
+        accD, accE, accEB, accHcc, accbc = K.accumulate_sc(
+            JpJdF, Hcd, bdSum, HdiF, mask, pts["host"], F)
+        ACC_S, HfC_S, Hpp_S, bC_S, bf_S = _stitch_sc_dev(
+            accD, accE, accEB, accHcc, accbc, inp["adH"], inp["adT"], F)
+
+        delta_st = jnp.concatenate([c_delta, (states - inp["state_zero"])[:, :8].reshape(-1)])
+        bM_top = inp["bM"] + inp["HM"] @ delta_st
+
+        HFinal = _dense(ACC_A + ACC_L, HfC_A + HfC_L, Hpp_A + Hpp_L, F) + inp["HM"]
+        bFinal = _vec(bC_A + bC_L, bf_A + bf_L) + bM_top - _vec(bC_S, bf_S)
+        Hsc = _dense(ACC_S, HfC_S, Hpp_S, F)
+
+        dg = jnp.arange(n)
+        HFinal = HFinal.at[dg, dg].multiply(1 + lam)
+        HFinal = HFinal - Hsc * (1.0 / (1 + lam))
+
+        # mask out inactive frames
+        m = jnp.concatenate(
+            [jnp.ones(CPARS, bool),
+             jnp.repeat(inp["frame_valid"], 8)]
+        )
+        mf = m.astype(HFinal.dtype)
+        HFinal = HFinal * mf[:, None] * mf[None, :] + jnp.diag(1.0 - mf)
+        bFinal = bFinal * mf
+
+        SVecI = 1.0 / jnp.sqrt(jnp.abs(jnp.diag(HFinal)) + 10.0)
+        Hs = HFinal * SVecI[:, None] * SVecI[None, :]
+        x = SVecI * jnp.linalg.solve(Hs, SVecI * bFinal)
+        x = jnp.where(it >= 2, x - inp["NNpiTS"] @ x, x)  # ORTH_X_LATER
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+
+        # resubstitute
+        x_c = x[:CPARS]
+        xf = x[CPARS:].reshape(F, 8)
+        xAd = (
+            jnp.einsum("hk,htkj->htj", xf, inp["adH"], precision="highest")
+            + jnp.einsum("tk,htkj->htj", xf, inp["adT"], precision="highest")
+        )
+        steps = K.resubstitute(x_c, xAd, JpJdF, mask, pts["host"],
+                               Hcd, bdSum, HdiF, ngood, F)
+
+        new_calib = calib_value - x_c
+        fstep = jnp.concatenate([-xf, jnp.zeros((F, 2), x.dtype)], axis=1)
+        new_states = states + fstep
+        newid = pts["idepth"] + steps
+        pts2 = dict(pts, idepth=newid, idepth_zero=newid,
+                    idepth_hessian=jnp.where(ngood > 0, Hdd, 0.0))
+
+        # convergence (doStepFromBackup :290-298), reference scaled units
+        nfr = jnp.maximum(jnp.sum(inp["frame_valid"]), 1).astype(x.dtype)
+        sumA = jnp.sum(fstep[:, 6] ** 2) / (nfr * SCALE_A**2)
+        sumB = jnp.sum(fstep[:, 7] ** 2) / (nfr * SCALE_B**2)
+        sumT = jnp.sum(fstep[:, 0:3] ** 2) / (nfr * SCALE_XI_TRANS**2)
+        sumR = jnp.sum(fstep[:, 3:6] ** 2) / nfr
+        act_pts = pts["active"]
+        nid = jnp.maximum(jnp.sum(act_pts), 1).astype(x.dtype)
+        sumNID = jnp.sum(jnp.abs(jnp.where(act_pts, pts["idepth"], 0.0))) / nid
+        th = s.th_opt_iterations
+        canbreak = (
+            (jnp.sqrt(sumA) < 0.0005 * th)
+            & (jnp.sqrt(sumB) < 0.00005 * th)
+            & (jnp.sqrt(sumR) < 0.00005 * th)
+            & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
+        )
+        return new_states, new_calib, pts2, nresA, canbreak
+
+    @jax.jit
+    def optimize(images, pts, res, jstore, states0, calib0, f_eth0, inp,
+                 max_iters, newest):
+        def reset_oob(res):
+            act = res["exists"] & ~res["linearized"]
+            return dict(res, state=jnp.where(act, RES_IN, res["state"]))
+
+        res0 = reset_oob(res)
+        out0 = linearize(images, pts, res0, jstore, states0, inp, f_eth0)
+        f_eth1 = frame_energy_th(out0, res0, newest, f_eth0)
+        res1, jstore1 = apply_res(out0, res0, jstore)
+
+        def cond(c):
+            return (c["it"] < max_iters) & ~(c["done"] & (c["it"] >= s.min_opt_iterations))
+
+        def body(c):
+            new_states, new_calib, pts2, nresA, canbreak = solve_iteration(
+                c["it"], c["states"], c["calib"], c["pts"], c["res"], c["jstore"], inp
+            )
+            out = linearize(images, pts2, c["res"], c["jstore"], new_states, inp, c["f_eth"])
+            f_eth = frame_energy_th(out, c["res"], newest, c["f_eth"])
+            res2, jstore2 = apply_res(out, c["res"], c["jstore"])
+            return dict(it=c["it"] + 1, states=new_states, calib=new_calib,
+                        pts=pts2, res=res2, jstore=jstore2, f_eth=f_eth,
+                        done=canbreak, nresA=nresA)
+
+        carry = dict(it=jnp.int32(0), states=states0, calib=calib0, pts=pts,
+                     res=res1, jstore=jstore1, f_eth=f_eth1,
+                     done=jnp.bool_(False), nresA=jnp.int32(1))
+        carry = jax.lax.while_loop(cond, body, carry)
+        return carry
+
+    return optimize
+
+
+def make_final_fix(settings, F: int, P: int):
+    """One device call for the post-loop linearizeAll(true): relinearize at
+    the new linearization point, apply, fix res_toZero, return energies and
+    the newest-frame center projections."""
+    s = settings
+    ab_zero = jnp.asarray(
+        [0.0 if s.affine_opt_mode_a < 0 else 1.0,
+         0.0 if s.affine_opt_mode_b < 0 else 1.0], jnp.float32)
+
+    @jax.jit
+    def final_fix(images, pts, res, jstore, states, calib_value, f_eth, inp,
+                  dpair, newest):
+        KRKi, Kt, aff = _precalc_dev(states, inp["evalR"], inp["evalt"],
+                                     calib_value, inp["exposures"])
+        out = K.linearize_residuals(
+            images,
+            pts["u"], pts["v"], pts["idepth"], pts["idepth_zero"],
+            pts["color"], pts["weights"], pts["host"], pts["energy_th"],
+            res["exists"], res["state"],
+            PRE_R0=inp["PRE_R0"], PRE_t0=inp["PRE_t0"],
+            PRE_KRKi=KRKi, PRE_Kt=Kt, PRE_aff=aff, PRE_b0=inp["aff0_b"],
+            f_energy_th=f_eth,
+            calib=calib_value,
+            outlier_th_sum=s.outlier_th_sum_component,
+            huber_th=s.huber_th,
+            ab_zero=ab_zero,
+        )
+        act = res["exists"] & ~res["linearized"]
+        upd = act & (res["state"] != RES_OOB)
+        new_state = jnp.where(upd, out["new_state"], res["state"])
+        new_active = jnp.where(act, new_state == RES_IN, res["active"])
+        energy = jnp.where(upd, out["energy"], res["energy"])
+        updj = act & (new_state == RES_IN)
+        jstore2 = {}
+        for k2 in ("Jpdxi", "Jpdc", "Jpdd", "JIdx", "JabF", "resF",
+                   "JIdx2", "JabJIdx", "Jab2"):
+            extra = (1,) * (out[k2].ndim - 2)
+            jstore2[k2] = jnp.where(updj.reshape(updj.shape + extra), out[k2], jstore[k2])
+
+        # fixLinearizationF for fresh IN residuals
+        c_delta = calib_value - inp["calib_zero"]
+        p_delta = pts["idepth"] - pts["idepth_zero"]
+        dp = dpair[pts["host"]]
+        Jp_dx = (
+            jnp.einsum("pfk,pfk->pf", jstore2["Jpdxi"][:, :, 0, :], dp[..., :6])
+            + jnp.einsum("pfk,k->pf", jstore2["Jpdc"][:, :, 0, :], c_delta)
+            + jstore2["Jpdd"][..., 0] * p_delta[:, None]
+        )
+        Jp_dy = (
+            jnp.einsum("pfk,pfk->pf", jstore2["Jpdxi"][:, :, 1, :], dp[..., :6])
+            + jnp.einsum("pfk,k->pf", jstore2["Jpdc"][:, :, 1, :], c_delta)
+            + jstore2["Jpdd"][..., 1] * p_delta[:, None]
+        )
+        rtz = (
+            jstore2["resF"]
+            - jstore2["JIdx"][:, :, 0, :] * Jp_dx[..., None]
+            - jstore2["JIdx"][:, :, 1, :] * Jp_dy[..., None]
+            - jstore2["JabF"][:, :, 0, :] * dp[..., 6:7]
+            - jstore2["JabF"][:, :, 1, :] * dp[..., 7:8]
+        )
+        fix = updj
+        jstore2["res_toZero"] = jnp.where(fix[..., None], rtz, jstore["res_toZero"])
+        new_linearized = res["linearized"] | fix
+        # drop active residuals that did not make it
+        bad = act & (new_state != RES_IN)
+        exists = res["exists"] & ~bad
+        new_state = jnp.where(bad, RES_NONE, new_state)
+        new_active = new_active & ~bad
+
+        act_energy = jnp.sum(jnp.where(act, energy, 0.0))
+        nres_in = jnp.sum(act & (new_state == RES_IN))
+        center_newest = jax.lax.dynamic_index_in_dim(
+            jnp.swapaxes(out["center_proj"], 0, 1), newest, 0, keepdims=False
+        )
+        res2 = dict(res, exists=exists, state=new_state, active=new_active,
+                    linearized=new_linearized, energy=energy)
+        return res2, jstore2, act_energy, nres_in, center_newest
+
+    return final_fix

@@ -736,3 +736,192 @@ class WindowOptimizer:
             st[k2] = v2[:, jnp.asarray(new_order)]
         self.jstore = st
         self.set_adjoints()
+
+
+# ---------------------------------------------------------------------------
+# Device-resident optimize loop (one call per keyframe) -- see device_opt.py
+# ---------------------------------------------------------------------------
+
+from . import device_opt as D  # noqa: E402
+
+
+class _DeviceOptMixin:
+    pass
+
+
+def _wo_device_inputs(self):
+    """Pack the per-KF constants for the device loop."""
+    F = self.F
+    nf = self.n_frames
+    evalR = np.zeros((F, 3, 3), np.float32)
+    evalt = np.zeros((F, 3), np.float32)
+    state_zero = np.zeros((F, 10), np.float32)
+    exposures = np.ones(F, np.float32)
+    aff0_b = np.zeros(F, np.float32)
+    frame_prior = np.zeros((F, 8), np.float32)
+    frame_valid = np.zeros(F, bool)
+    PRE_R0 = np.zeros((F, F, 3, 3), np.float32)
+    PRE_t0 = np.zeros((F, F, 3), np.float32)
+    for i, f in enumerate(self.frames):
+        evalR[i] = f.worldToCam_evalPT.R
+        evalt[i] = f.worldToCam_evalPT.t
+        state_zero[i] = f.state_zero
+        exposures[i] = f.ab_exposure
+        aff0_b[i] = f.aff_g2l_0()[1]
+        frame_prior[i] = f.prior()
+        frame_valid[i] = True
+        for j, g in enumerate(self.frames):
+            l2l0 = g.worldToCam_evalPT * f.worldToCam_evalPT.inverse()
+            PRE_R0[i, j] = l2l0.R
+            PRE_t0[i, j] = l2l0.t
+    n = CPARS + 8 * F
+    HMp = np.zeros((n, n), np.float32)
+    bMp = np.zeros(n, np.float32)
+    na = CPARS + 8 * nf
+    HMp[:na, :na] = self.HM[:na, :na]
+    bMp[:na] = self.bM[:na]
+    # nullspace projector (constant during the loop)
+    ns = self.nullspaces()
+    N = np.stack([v / (np.linalg.norm(v) + 1e-30) for v in ns], axis=1)
+    U, S_, Vt = np.linalg.svd(N, full_matrices=False)
+    Sinv = np.where(S_ > self.s.solver_mode_delta * S_.max(), 1.0 / S_, 0.0)
+    Npi = U * Sinv[None, :] @ Vt
+    NNpiT = N @ Npi.T
+    NNpiTS = np.zeros((n, n), np.float32)
+    NNpiTS[:na, :na] = 0.5 * (NNpiT + NNpiT.T)
+    return dict(
+        evalR=jnp.asarray(evalR), evalt=jnp.asarray(evalt),
+        state_zero=jnp.asarray(state_zero),
+        exposures=jnp.asarray(exposures), aff0_b=jnp.asarray(aff0_b),
+        frame_prior=jnp.asarray(frame_prior),
+        frame_valid=jnp.asarray(frame_valid),
+        PRE_R0=jnp.asarray(PRE_R0), PRE_t0=jnp.asarray(PRE_t0),
+        adH=jnp.asarray(self.ad_host, jnp.float32),
+        adT=jnp.asarray(self.ad_target, jnp.float32),
+        HM=jnp.asarray(HMp), bM=jnp.asarray(bMp),
+        NNpiTS=jnp.asarray(NNpiTS),
+        calib_value=jnp.asarray(self.calib_value, jnp.float32),
+        calib_zero=jnp.asarray(self.calib_zero, jnp.float32),
+        c_prior=jnp.asarray(self.c_prior, jnp.float32),
+    )
+
+
+def _wo_pack_pts(self):
+    p = self.pts
+    return dict(
+        u=jnp.asarray(p.u), v=jnp.asarray(p.v),
+        idepth=jnp.asarray(p.idepth), idepth_zero=jnp.asarray(p.idepth_zero),
+        color=jnp.asarray(p.color), weights=jnp.asarray(p.weights),
+        host=jnp.asarray(p.host), energy_th=jnp.asarray(p.energy_th),
+        prior=jnp.asarray(p.prior), active=jnp.asarray(p.active),
+        idepth_hessian=jnp.asarray(p.idepth_hessian),
+    )
+
+
+def _wo_pack_res(self):
+    p = self.pts
+    return dict(
+        exists=jnp.asarray(p.r_exists),
+        state=jnp.asarray(p.r_state.astype(np.int32)),
+        active=jnp.asarray(p.r_active),
+        linearized=jnp.asarray(p.r_linearized),
+        energy=jnp.asarray(p.r_energy),
+    )
+
+
+def _wo_optimize_device(self, max_iters: int) -> float:
+    """optimize() with the whole GN loop in one device call."""
+    if self.n_frames < 2:
+        return 0.0
+    if self.n_frames < 3:
+        max_iters = 20
+    elif self.n_frames < 4:
+        max_iters = 15
+
+    if not hasattr(self, "_dev_opt") or self._dev_opt is None:
+        self._dev_opt = D.make_device_optimizer(self.s, self.F, self.P)
+        self._dev_fix = D.make_final_fix(self.s, self.F, self.P)
+
+    inp = _wo_device_inputs(self)
+    pts_d = _wo_pack_pts(self)
+    res_d = _wo_pack_res(self)
+    states0 = np.zeros((self.F, 10), np.float32)
+    for i, f in enumerate(self.frames):
+        states0[i] = f.state
+    f_eth0 = np.zeros(self.F, np.float32)
+    for i, f in enumerate(self.frames):
+        f_eth0[i] = f.frame_energy_th
+    newest = self.n_frames - 1
+
+    carry = self._dev_opt(
+        self.images, pts_d, res_d, self.jstore,
+        jnp.asarray(states0), jnp.asarray(self.calib_value, jnp.float32),
+        jnp.asarray(f_eth0), inp,
+        jnp.int32(max_iters), jnp.int32(newest),
+    )
+
+    # pull the small state
+    states = np.asarray(carry["states"], np.float64)
+    calib = np.asarray(carry["calib"], np.float64)
+    f_eth = np.asarray(carry["f_eth"])
+    for i, f in enumerate(self.frames):
+        f.set_state(states[i])
+        f.frame_energy_th = float(f_eth[i])
+    self.calib_value = calib
+    pts2 = carry["pts"]
+    res2 = carry["res"]
+    self.jstore = carry["jstore"]
+
+    # new linearization point for the newest frame + adjoint refresh
+    nf_frame = self.frames[-1]
+    new_zero = np.zeros(10)
+    new_zero[6:8] = nf_frame.state[6:8]
+    nf_frame.set_eval_pt(nf_frame.PRE_worldToCam, new_zero)
+    self.set_adjoints()
+
+    # final relinearize + fixLinearization, one device call
+    inp2 = _wo_device_inputs(self)
+    states_f = np.zeros((self.F, 10), np.float32)
+    for i, f in enumerate(self.frames):
+        states_f[i] = f.state
+    dpair = np.zeros((self.F, self.F, 8), np.float32)
+    d8 = self.frame_deltas()
+    for h in range(self.n_frames):
+        for t in range(self.n_frames):
+            dpair[h, t] = d8[h] @ self.ad_host[h, t] + d8[t] @ self.ad_target[h, t]
+    res3, jstore3, act_energy, nres_in, center_newest = self._dev_fix(
+        self.images, pts2, res2, self.jstore,
+        jnp.asarray(states_f), jnp.asarray(self.calib_value, jnp.float32),
+        jnp.asarray(f_eth), inp2, jnp.asarray(dpair), jnp.int32(newest),
+    )
+    self.jstore = jstore3
+
+    # sync numpy mirrors
+    p = self.pts
+    p.idepth = np.array(pts2["idepth"])
+    p.idepth_zero = np.array(pts2["idepth_zero"])
+    p.idepth_hessian = np.array(pts2["idepth_hessian"])
+    p.r_exists = np.array(res3["exists"])
+    p.r_state = np.array(res3["state"]).astype(np.int8)
+    p.r_active = np.array(res3["active"])
+    p.r_linearized = np.array(res3["linearized"])
+    p.r_energy = np.array(res3["energy"])
+    cp = np.zeros((self.P, self.F, 3), np.float32)
+    cp[:, newest, :] = np.asarray(center_newest)
+    self._last_center_proj = cp
+    self.res_in_a = max(int(nres_in), 1)
+    self.last_energy = float(act_energy)
+    rmse = float(np.sqrt(self.last_energy / (8.0 * self.res_in_a)))
+
+    for f in self.frames:
+        if f.shell is not None:
+            f.shell.camToWorld = f.PRE_camToWorld
+            f.shell.aff_g2l = f.aff_g2l()
+    return rmse
+
+
+WindowOptimizer.device_inputs = _wo_device_inputs
+WindowOptimizer.pack_pts = _wo_pack_pts
+WindowOptimizer.pack_res = _wo_pack_res
+WindowOptimizer.optimize_device = _wo_optimize_device
+WindowOptimizer._dev_opt = None

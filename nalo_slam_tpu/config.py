@@ -174,6 +174,10 @@ class Settings:
     max_immature_per_frame: int = 2048
     pyr_levels: int = PYR_LEVELS
 
+    # run the whole GN loop as one device program (device_opt.py); the
+    # float64 host path remains for validation
+    use_device_opt: bool = True
+
     # random seed mirroring the reference's srand(3141592)
     seed: int = 3141592
 

@@ -405,7 +405,8 @@ class FullSystem:
         self._activate_points()
 
         fs.frame_energy_th = self.window.frames[-2].frame_energy_th if self.window.n_frames > 1 else fs.frame_energy_th
-        rmse = self.window.optimize(s.max_opt_iterations)
+        rmse = (self.window.optimize_device(s.max_opt_iterations)
+                if s.use_device_opt else self.window.optimize(s.max_opt_iterations))
 
         # init-failure checks (:1370-1387)
         nkf = len(self.all_kf_shells)
