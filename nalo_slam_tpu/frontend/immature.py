@@ -352,3 +352,97 @@ def _grow_dist(d, iters: int):
         return out
 
     return jax.lax.fori_loop(0, iters, body, d)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident immature state helpers (transfer-frugal orchestration):
+# static fields are written once at creation, trace-mutable fields stay on
+# device between frames, and the host pulls one packed array per keyframe.
+# ---------------------------------------------------------------------------
+
+
+def empty_device_state(F: int, M: int):
+    N = F * M
+    static = dict(
+        u=jnp.zeros(N, jnp.float32), v=jnp.zeros(N, jnp.float32),
+        color=jnp.zeros((N, 8), jnp.float32), weights=jnp.zeros((N, 8), jnp.float32),
+        gradH=jnp.zeros((N, 2, 2), jnp.float32),
+        energy_th=jnp.zeros(N, jnp.float32),
+        valid=jnp.zeros(N, bool),
+    )
+    trace = dict(
+        idepth_min=jnp.zeros(N, jnp.float32),
+        idepth_max=jnp.full(N, jnp.nan, jnp.float32),
+        status=jnp.full(N, IPS_UNINITIALIZED, jnp.int32),
+        quality=jnp.full(N, 10000.0, jnp.float32),
+        interval=jnp.zeros(N, jnp.float32),
+    )
+    return static, trace
+
+
+@partial(jax.jit, static_argnames=("M",))
+def set_block(static, trace, block, new_static, new_trace, M: int):
+    """Write one frame's M-slot block (creation of new traces)."""
+    start = block * M
+
+    def upd(dst, src):
+        return jax.lax.dynamic_update_slice(
+            dst, src.astype(dst.dtype), (start,) + (0,) * (dst.ndim - 1)
+        )
+
+    static2 = {k: upd(static[k], new_static[k]) for k in static}
+    trace2 = {k: upd(trace[k], new_trace[k]) for k in trace}
+    return static2, trace2
+
+
+@partial(jax.jit, static_argnames=("F", "M"))
+def shift_down(static, trace, perm, F: int, M: int):
+    """Apply a frame-block permutation (marginalization compaction)."""
+
+    def reorder(a):
+        return a.reshape((F, M) + a.shape[1:])[perm].reshape(a.shape)
+
+    return ({k: reorder(v) for k, v in static.items()},
+            {k: reorder(v) for k, v in trace.items()})
+
+
+@jax.jit
+def set_valid(static, valid):
+    return dict(static, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img", "F", "M"))
+def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
+                 huber_th: float, w_img: int, h_img: int, F: int, M: int):
+    """One-call traceNewCoarse over the whole device-resident store."""
+    hosts = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
+    res = trace_points(
+        new_dI, static["u"], static["v"], static["color"], static["weights"],
+        static["gradH"], trace["idepth_min"], trace["idepth_max"],
+        trace["status"], trace["quality"], static["energy_th"],
+        KRKi, Kt, affs, hosts, max_pix_search_frac,
+        huber_th=huber_th, w_img=w_img, h_img=h_img,
+    )
+    id_min, id_max, status, quality, interval, _, _ = res
+    v = static["valid"]
+    return dict(
+        idepth_min=jnp.where(v, id_min, trace["idepth_min"]),
+        idepth_max=jnp.where(v, id_max, trace["idepth_max"]),
+        status=jnp.where(v, status, trace["status"]),
+        quality=jnp.where(v, quality, trace["quality"]),
+        interval=jnp.where(v, interval, trace["interval"]),
+    )
+
+
+@jax.jit
+def pack_for_host(static, trace):
+    """One (N, 8) f32 pull with everything the host activation logic needs."""
+    return jnp.stack(
+        [
+            static["u"], static["v"],
+            trace["idepth_min"], trace["idepth_max"],
+            trace["status"].astype(jnp.float32), trace["quality"],
+            trace["interval"], static["valid"].astype(jnp.float32),
+        ],
+        axis=-1,
+    )

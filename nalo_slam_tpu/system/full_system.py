@@ -102,6 +102,9 @@ class FullSystem:
             (float(calib.fx[l]), float(calib.fy[l]), float(calib.cx[l]), float(calib.cy[l]))
             for l in range(calib.levels)
         )
+        self.imm_static, self.imm_trace = imm.empty_device_state(
+            settings.max_window_frames, settings.max_immature_per_frame
+        )
         am = (settings.affine_opt_mode_a < 0, settings.affine_opt_mode_b < 0)
         self._affine_mode = {(False, False): 0, (False, True): 1,
                              (True, False): 2, (True, True): 3}[am]
@@ -244,13 +247,32 @@ class FullSystem:
     def _get_track_fn(self, batched: bool):
         key = batched
         if key not in self._track_fns:
-            fn = make_track_fn(self.shapes, self.Ks, self.s, self._affine_mode)
+            base = make_track_fn(self.shapes, self.Ks, self.s, self._affine_mode)
+
+            def packed(*args):
+                R, t, ab, res, flow, ok = base(*args)
+                # single flat output -> ONE host pull per track call
+                return jnp.concatenate([
+                    R.reshape(-1), t, ab, res, flow,
+                    ok.astype(jnp.float32)[None],
+                ])
+
             if batched:
-                fn = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, None, None)))
+                fn = jax.jit(jax.vmap(packed, in_axes=(0, 0, 0, None, None, None, None, None)))
             else:
-                fn = jax.jit(fn)
+                fn = jax.jit(packed)
             self._track_fns[key] = fn
         return self._track_fns[key]
+
+    def _unpack_track(self, out):
+        L = self.calib.levels
+        R = out[..., :9].reshape(out.shape[:-1] + (3, 3))
+        t = out[..., 9:12]
+        ab = out[..., 12:14]
+        res = out[..., 14:14 + L]
+        flow = out[..., 14 + L:16 + L]
+        ok = out[..., 16 + L] > 0.5
+        return R, t, ab, res, flow, ok
 
     def _run_track(self, R0s, t0s, ab0s, new_dIs, batched: bool):
         ref = self.tracker_ref
@@ -269,28 +291,28 @@ class FullSystem:
         # fast path: first hypothesis only (reference always breaks at :655
         # when it beats 1.5x the previous RMSE)
         R0, t0 = tries[0].Rt32()
-        R, t, ab, res, flow, ok = self._run_track(
+        packed = np.asarray(self._run_track(
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False
-        )
-        res = np.asarray(res)
-        best = (np.asarray(R, np.float64), np.asarray(t, np.float64),
-                np.asarray(ab, np.float64), res, np.asarray(flow))
+        ))
+        R, t, ab, res, flow, ok = self._unpack_track(packed)
+        best = (R.astype(np.float64), t.astype(np.float64),
+                ab.astype(np.float64), res, flow)
         good = bool(ok) and np.isfinite(res[0])
         if not (good and res[0] < self.last_coarse_rmse[0] * self.s.re_track_threshold):
             n = len(tries)
             Rs = np.stack([x.Rt32()[0] for x in tries])
             ts = np.stack([x.Rt32()[1] for x in tries])
             abs_ = np.tile(aff0, (n, 1))
-            Rb, tb, abb, resb, flowb, okb = self._run_track(
+            packed_b = np.asarray(self._run_track(
                 jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_), frame["dIs"], True
-            )
-            resb = np.asarray(resb)
-            okb = np.asarray(okb) & np.isfinite(resb[:, 0])
+            ))
+            Rb, tb, abb, resb, flowb, okb = self._unpack_track(packed_b)
+            okb = okb & np.isfinite(resb[:, 0])
             if okb.any():
                 cand = np.where(okb, resb[:, 0], np.inf)
                 bi = int(np.argmin(cand))
-                best = (np.asarray(Rb[bi], np.float64), np.asarray(tb[bi], np.float64),
-                        np.asarray(abb[bi], np.float64), resb[bi], np.asarray(flowb[bi]))
+                best = (Rb[bi].astype(np.float64), tb[bi].astype(np.float64),
+                        abb[bi].astype(np.float64), resb[bi], flowb[bi])
                 good = True
             else:
                 good = False
@@ -342,39 +364,13 @@ class FullSystem:
             affs[h] = self._aff_pair(host.ab_exposure, frame["exposure"],
                                      host.aff_g2l(), frame["shell"].aff_g2l)
 
-        # flatten per-frame stores into (F*M, ...) with padding
-        def flat(field, fill=0):
-            proto = getattr(self.immatures[0], field)
-            out = np.full((F, M) + proto.shape[1:], fill, proto.dtype)
-            for h in range(nf):
-                out[h] = getattr(self.immatures[h], field)
-            return out.reshape((F * M,) + proto.shape[1:])
-
-        valid = flat("valid")
-        hosts = np.repeat(np.arange(F, dtype=np.int32), M)
-        res = imm.trace_points(
-            frame["dIs"][0],
-            jnp.asarray(flat("u")), jnp.asarray(flat("v")),
-            jnp.asarray(flat("color")), jnp.asarray(flat("weights")),
-            jnp.asarray(flat("gradH")),
-            jnp.asarray(flat("idepth_min")), jnp.asarray(flat("idepth_max", np.nan)),
-            jnp.asarray(flat("status", imm.IPS_OOB)), jnp.asarray(flat("quality")),
-            jnp.asarray(flat("energy_th")),
+        self.imm_trace = imm.trace_update(
+            self.imm_static, self.imm_trace, frame["dIs"][0],
             jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affs),
-            jnp.asarray(hosts),
             self.s.max_pix_search,
             huber_th=self.s.huber_th, w_img=c.w[0], h_img=c.h[0],
+            F=F, M=M,
         )
-        id_min, id_max, status, quality, interval, lu, lv = [np.asarray(r) for r in res]
-        for h in range(nf):
-            st = self.immatures[h]
-            sl = slice(h * M, (h + 1) * M)
-            upd = st.valid
-            st.idepth_min = np.where(upd, id_min[sl], st.idepth_min)
-            st.idepth_max = np.where(upd, id_max[sl], st.idepth_max)
-            st.status = np.where(upd, status[sl], st.status)
-            st.quality = np.where(upd, quality[sl], st.quality)
-            st.pixel_interval = np.where(upd, interval[sl], st.pixel_interval)
 
     # ==================================================================
     # Keyframe pipeline (makeKeyFrame :1279)
@@ -523,6 +519,19 @@ class FullSystem:
             return
         newest = nf - 1
         c = self.calib
+
+        # one packed pull of the device-resident trace state, then sync the
+        # numpy stores the host logic below reads
+        M = self.s.max_immature_per_frame
+        packed = np.asarray(imm.pack_for_host(self.imm_static, self.imm_trace))
+        for h in range(nf):
+            st = self.immatures[h]
+            sl = packed[h * M : (h + 1) * M]
+            st.idepth_min = sl[:, 2].copy()
+            st.idepth_max = sl[:, 3].copy()
+            st.status = sl[:, 4].astype(np.int32)
+            st.quality = sl[:, 5].copy()
+            st.pixel_interval = sl[:, 6].copy()
         h1, w1 = c.h[1], c.w[1]
         K1 = c.K[1]
         Ki0 = c.Ki[0]
@@ -574,6 +583,7 @@ class FullSystem:
             for j, ui, vi in zip(idxs[inb], uu[inb], vv[inb]):
                 cand_data.append((h, j, ui, vi))
         if not cand_data:
+            self._push_imm_valid()
             return
 
         pu = np.concatenate(pu_l) if pu_l else np.zeros(0)
@@ -597,6 +607,7 @@ class FullSystem:
                 occ[yy0:yy1, xx0:xx1] = np.minimum(occ[yy0:yy1, xx0:xx1], chev)
 
         if not accepted:
+            self._push_imm_valid()
             return
         # batched idepth optimization
         N = len(accepted)
@@ -671,6 +682,7 @@ class FullSystem:
         # consume immature points that were optimized (activated or failed)
         for (h, j), okj in zip(accepted, ok):
             self.immatures[h].valid[j] = False
+        self._push_imm_valid()
 
     # ------------------------------------------------------------------
     def _remove_outliers(self):
@@ -737,6 +749,13 @@ class FullSystem:
         )
 
     # ------------------------------------------------------------------
+    def _push_imm_valid(self):
+        F, M = self.window.F, self.s.max_immature_per_frame
+        valid = np.zeros(F * M, bool)
+        for h, st in enumerate(self.immatures):
+            valid[h * M : (h + 1) * M] = st.valid
+        self.imm_static = imm.set_valid(self.imm_static, jnp.asarray(valid))
+
     def _make_new_traces(self, frame, new_idx):
         """makeNewTraces (:1656-1690): pixel selection -> immature points."""
         s = self.s
@@ -775,6 +794,25 @@ class FullSystem:
         st.my_type[:n] = types[:n]
         st.energy_th[:n] = 8 * s.outlier_th * s.overall_energy_th_weight**2
 
+        # upload the new block to the device-resident store (one call)
+        new_static = dict(
+            u=jnp.asarray(st.u), v=jnp.asarray(st.v),
+            color=jnp.asarray(st.color), weights=jnp.asarray(st.weights),
+            gradH=jnp.asarray(st.gradH), energy_th=jnp.asarray(st.energy_th),
+            valid=jnp.asarray(st.valid),
+        )
+        new_trace = dict(
+            idepth_min=jnp.asarray(st.idepth_min),
+            idepth_max=jnp.asarray(st.idepth_max),
+            status=jnp.asarray(st.status),
+            quality=jnp.asarray(st.quality),
+            interval=jnp.asarray(st.pixel_interval),
+        )
+        self.imm_static, self.imm_trace = imm.set_block(
+            self.imm_static, self.imm_trace, jnp.int32(new_idx),
+            new_static, new_trace, M,
+        )
+
     # ------------------------------------------------------------------
     def _marginalize_frame(self, idx):
         w = self.window
@@ -790,6 +828,14 @@ class FullSystem:
         self.frame_pyramids.pop(id(fs), None)
         w.marginalize_frame(idx)
         del self.immatures[idx]
+        F = self.window.F
+        perm = np.array(list(range(idx)) + list(range(idx + 1, F)) + [idx])
+        self.imm_static, self.imm_trace = imm.shift_down(
+            self.imm_static, self.imm_trace, jnp.asarray(perm), F,
+            self.s.max_immature_per_frame,
+        )
+        # the recycled tail block must be invalid
+        self._push_imm_valid()
 
     # ==================================================================
     def trajectory(self):
