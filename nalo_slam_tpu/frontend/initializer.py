@@ -279,6 +279,29 @@ class CoarseInitializer:
         self.snapped = False
         self.frame_id = 0
         self.snapped_at = 0
+        self._push_device_state()
+
+    # ------------------------------------------------------------------
+    # Device-resident fast path (initializer_dev.py)
+    # ------------------------------------------------------------------
+    def _push_device_state(self):
+        self.dev = []
+        for lvl in range(self.levels):
+            d = self.pts[lvl]
+            self.dev.append({
+                k: jnp.asarray(d[k]) for k in (
+                    "u", "v", "valid", "neighbours", "parent", "idepth",
+                    "idepth_new", "iR", "energy", "is_good", "last_hessian",
+                    "maxstep", "outlier_th", "Jb")
+            })
+        self._level_lm = None
+
+    def _pull_level(self, lvl):
+        d = self.pts[lvl]
+        for k in ("idepth", "idepth_new", "iR", "is_good", "last_hessian",
+                  "maxstep"):
+            d[k] = np.array(self.dev[lvl][k])
+        return d
 
     # ------------------------------------------------------------------
     def _opt_reg(self, lvl):
@@ -376,8 +399,70 @@ class CoarseInitializer:
 
     # ------------------------------------------------------------------
     def track_frame(self, new_dIs, exposure: float = 1.0) -> bool:
+        """Device-resident LM pyramid descent (one call per level)."""
+        from . import initializer_dev as IDV
+
+        s = self.s
+        c = self.calib
+        fix_affine = s.affine_opt_mode_a < 0 and s.affine_opt_mode_b < 0
+        if self._level_lm is None:
+            self._level_lm = [
+                IDV.make_level_lm(
+                    lvl,
+                    (float(c.fx[lvl]), float(c.fy[lvl]), float(c.cx[lvl]), float(c.cy[lvl])),
+                    self.first_dIs[lvl], s.huber_th, fix_affine,
+                )
+                for lvl in range(self.levels)
+            ]
+
+        if not self.snapped:
+            self.this_to_next = SE3(self.this_to_next.R, np.zeros(3))
+            for lvl in range(self.levels):
+                dd = self.dev[lvl]
+                self.dev[lvl] = dict(
+                    dd, iR=jnp.ones_like(dd["iR"]),
+                    idepth_new=jnp.ones_like(dd["idepth_new"]),
+                    last_hessian=jnp.zeros_like(dd["last_hessian"]),
+                )
+
+        R = jnp.asarray(self.this_to_next.R, jnp.float32)
+        t = jnp.asarray(self.this_to_next.t, jnp.float32)
+        aff = self.this_to_next_aff.copy()
+        if self.first_exposure > 0 and exposure > 0:
+            aff = np.array([np.log(exposure / self.first_exposure), 0.0])
+        aff = jnp.asarray(aff, jnp.float32)
+        snapped = jnp.asarray(self.snapped)
+
+        for lvl in range(self.levels - 1, -1, -1):
+            if lvl < self.levels - 1:
+                self.dev[lvl] = IDV.propagate_down(self.dev[lvl + 1], self.dev[lvl])
+            st = IDV.reset_points(self.dev[lvl], top_level=(lvl == self.levels - 1))
+            R, t, aff, st, snapped = self._level_lm[lvl](
+                new_dIs[lvl], st, R, t, aff, snapped
+            )
+            self.dev[lvl] = st
+
+        for lvl in range(self.levels - 1):
+            self.dev[lvl + 1] = IDV.propagate_up(self.dev[lvl], self.dev[lvl + 1])
+
+        self.this_to_next = SE3(np.array(R, np.float64), np.array(t, np.float64))
+        self.this_to_next_aff = np.array(aff, np.float64)
+        self.snapped = bool(snapped)
+
+        self.frame_id += 1
+        if not self.snapped:
+            self.snapped_at = 0
+        if self.snapped and self.snapped_at == 0:
+            self.snapped_at = self.frame_id
+        done = self.snapped and self.frame_id > self.snapped_at + 5
+        if done:
+            self._pull_level(0)
+        return done
+
+    def track_frame_host(self, new_dIs, exposure: float = 1.0) -> bool:
         """One LM pyramid descent against the first frame (reference :81-285).
-        Returns True when snapped for > 5 frames (initialization done)."""
+        Returns True when snapped for > 5 frames (initialization done).
+        Float64 host path kept for validation."""
         s = self.s
         c = self.calib
         fix_affine = s.affine_opt_mode_a < 0 and s.affine_opt_mode_b < 0
@@ -430,10 +515,10 @@ class CoarseInitializer:
                 b = r["b"].astype(np.float64)
                 Hsc = r["Hsc"].astype(np.float64)
                 bsc = r["bsc"].astype(np.float64)
-                H[np.diag_indices(8)] *= 1 + lam
                 H[0, 0] += r["diag_add"]
                 H[1, 1] += r["diag_add"]
                 H[2, 2] += r["diag_add"]
+                H[np.diag_indices(8)] *= 1 + lam
                 tlog = SE3(R, t).log()[:3]
                 b[0] += tlog[0] * r["diag_add"]
                 b[1] += tlog[1] * r["diag_add"]
