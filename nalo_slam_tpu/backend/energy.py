@@ -724,9 +724,9 @@ class WindowOptimizer:
 
         # compact window
         self.frames.pop(idx)
-        imgs = np.array(self.images)  # writable copy
-        imgs[idx : nf - 1] = imgs[idx + 1 : nf]
-        self.images = jnp.asarray(imgs)
+        # shift image slots down on device (no host transfer)
+        perm = np.array(list(range(idx)) + list(range(idx + 1, self.F)) + [idx])
+        self.images = self.images[jnp.asarray(perm)]
         self.pts.shift_frame_down(idx, nf - 1)
         # jstore columns must shift identically
         st = {}

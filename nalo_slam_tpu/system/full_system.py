@@ -189,16 +189,27 @@ class FullSystem:
         keep = good & (rng.random(n) <= keep_pct)
         u = d["u"][:n][keep] + 0.5
         v = d["v"][:n][keep] + 0.5
+        # fixed-size padded call (compile once)
+        M0 = s.max_immature_per_frame
+        nn = min(len(u), M0)
+        u, v = u[:nn], v[:nn]
+        up = np.zeros(M0, np.float32)
+        vp = np.zeros(M0, np.float32)
+        up[:nn] = u
+        vp[:nn] = v
         col, wgt, _, ok = imm.make_immature_data(
-            first["dIs"][0], jnp.asarray(u), jnp.asarray(v)
+            first["dIs"][0], jnp.asarray(up), jnp.asarray(vp)
         )
-        col, wgt, ok = np.asarray(col), np.asarray(wgt), np.asarray(ok)
-        idepth = (iR[keep] * rescale).astype(np.float32)
+        col = np.asarray(col)[:nn]
+        wgt = np.asarray(wgt)[:nn]
+        ok = np.asarray(ok)[:nn]
+        keep = keep.copy()
+        idepth = (iR[keep][:nn] * rescale).astype(np.float32)
         eth = np.full(len(u), 8 * s.outlier_th * s.overall_energy_th_weight**2, np.float32)
         sel = ok & np.isfinite(idepth)
         slots = self.window.insert_points(
             0, u[sel], v[sel], col[sel], wgt[sel], idepth[sel], eth[sel],
-            my_type=d["my_type"][:n][keep][sel], has_prior=True,
+            my_type=d["my_type"][:n][keep][:nn][sel], has_prior=True,
         )
 
         first_to_new = SE3(ini.this_to_next.R, ini.this_to_next.t / rescale)
@@ -777,10 +788,17 @@ class FullSystem:
             xs, ys, types = xs[sel], ys[sel], types[sel]
         st = self.immatures[new_idx]
         n = len(xs)
+        # pad to the fixed store size M so the jit compiles once
+        xs_p = np.zeros(M, np.float32)
+        ys_p = np.zeros(M, np.float32)
+        xs_p[:n] = xs
+        ys_p[:n] = ys
         col, wgt, gradH, ok = imm.make_immature_data(
-            dIs[0], jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32)
+            dIs[0], jnp.asarray(xs_p), jnp.asarray(ys_p)
         )
         col, wgt, gradH, ok = map(np.asarray, (col, wgt, gradH, ok))
+        ok = ok.copy()
+        ok[n:] = False
         st.valid[:n] = ok[:n]
         st.u[:n] = xs
         st.v[:n] = ys
