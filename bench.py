@@ -18,6 +18,11 @@ import time
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/nalo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from nalo_slam_tpu.config import Settings

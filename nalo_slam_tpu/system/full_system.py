@@ -342,11 +342,11 @@ class FullSystem:
         shell.aff_g2l = (float(abw[0]), float(abw[1]))
         shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
+        # lastCoarseRMSE = this frame's achieved residuals (reference :668);
+        # NOT a running min -- that would tighten the fast-path gate forever
         ach = np.where(np.isfinite(resw[: len(self.last_coarse_rmse)]),
-                       resw[: len(self.last_coarse_rmse)], self.last_coarse_rmse)
-        self.last_coarse_rmse = np.minimum(
-            np.where(np.isfinite(ach), ach, 100.0), 1e10
-        )
+                       resw[: len(self.last_coarse_rmse)], 100.0)
+        self.last_coarse_rmse = ach
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = float(self.last_coarse_rmse[0])
         return np.array([resw[0] if np.isfinite(resw[0]) else np.nan,
