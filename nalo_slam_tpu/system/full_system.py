@@ -38,6 +38,30 @@ from ..frontend import immature as imm
 import jax
 
 
+def _host_selector_pyramid(img: np.ndarray, b_grad: np.ndarray | None):
+    """Numpy levels 0-2 intensity+gradient+absgrad for the pixel selector
+    (same math as ops.pyramid.build_pyramid)."""
+    dIs = []
+    ags = []
+    cur = img.astype(np.float32)
+    for lvl in range(3):
+        if lvl > 0:
+            h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+            cur = 0.25 * (cur[0:2*h2:2, 0:2*w2:2] + cur[0:2*h2:2, 1:2*w2:2]
+                          + cur[1:2*h2:2, 0:2*w2:2] + cur[1:2*h2:2, 1:2*w2:2])
+        dx = np.zeros_like(cur)
+        dy = np.zeros_like(cur)
+        dx[:, 1:-1] = 0.5 * (cur[:, 2:] - cur[:, :-2])
+        dy[1:-1, :] = 0.5 * (cur[2:, :] - cur[:-2, :])
+        ag = dx * dx + dy * dy
+        if b_grad is not None:
+            gw = b_grad[np.clip(cur.astype(np.int32), 0, 255)]
+            ag = ag * gw * gw
+        dIs.append(np.stack([cur, dx, dy], axis=-1))
+        ags.append(ag)
+    return dIs[0], ags
+
+
 class FrameShell:
     """Pose record per frame (reference src/util/FrameShell.h:37-77)."""
 
@@ -80,6 +104,9 @@ class FullSystem:
         self.gamma_b_grad = (
             jnp.asarray(gamma_b_grad, jnp.float32) if gamma_b_grad is not None else None
         )
+        self.gamma_b_grad_np = (
+            np.asarray(gamma_b_grad, np.float32) if gamma_b_grad is not None else None
+        )
         h0, w0 = calib.h[0], calib.w[0]
         self.window = WindowOptimizer(settings, calib.value_vec(), (h0, w0))
         self.initializer = CoarseInitializer(calib, settings)
@@ -119,10 +146,11 @@ class FullSystem:
         shell = FrameShell(len(self.all_shells), incoming_id, timestamp)
         self.all_shells.append(shell)
         self.statistics["n_frames"] += 1
+        image = np.asarray(image, np.float32)
         dIs, absgrads = build_pyramid(
-            jnp.asarray(image, jnp.float32), self.calib.levels, self.gamma_b_grad
+            jnp.asarray(image), self.calib.levels, self.gamma_b_grad
         )
-        frame = dict(shell=shell, dIs=dIs, absgrads=absgrads,
+        frame = dict(shell=shell, dIs=dIs, absgrads=absgrads, image=image,
                      exposure=exposure, mask=mask, bgr=bgr)
 
         if not self.initialized:
@@ -770,10 +798,12 @@ class FullSystem:
     def _make_new_traces(self, frame, new_idx):
         """makeNewTraces (:1656-1690): pixel selection -> immature points."""
         s = self.s
-        dIs, absgrads = frame["dIs"], frame["absgrads"]
+        dIs = frame["dIs"]
+        # host mini-pyramid for the (host-side) selector: avoids pulling the
+        # device pyramid over the link
+        h_dI0, h_ags = _host_selector_pyramid(frame["image"], self.gamma_b_grad_np)
         status = self.selector.make_maps(
-            np.asarray(dIs[0]), [np.asarray(a) for a in absgrads],
-            s.desired_immature_density, frame_id=frame["shell"].id,
+            h_dI0, h_ags, s.desired_immature_density, frame_id=frame["shell"].id,
         )
         if s.use_lidar and frame.get("mask") is not None:
             status = self.selector.fuse_with_mask(status, frame["mask"])
