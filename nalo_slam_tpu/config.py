@@ -240,7 +240,9 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
         elif k == "dense":
             s = s.replace(dense_track=bool(int(v)))
         elif k == "planeOpt":
-            s = s.replace(plane_optimize=bool(int(v)), scale_fix=bool(int(v)))
+            # scale_fix is RUNTIME state (locks when the ground height
+            # stabilizes); planeOpt only enables the pipeline
+            s = s.replace(plane_optimize=bool(int(v)))
         elif k == "densemap":
             s = s.replace(dense_mapping=bool(int(v)))
         elif k == "tsdf":

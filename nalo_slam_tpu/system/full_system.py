@@ -34,6 +34,9 @@ from ..frontend.initializer import CoarseInitializer
 from ..frontend.pixel_selector import PixelSelector
 from ..frontend.tracker import make_track_fn, make_coarse_depth_maps, aff_from_to
 from ..frontend import immature as imm
+from ..nalo.dense_frontend import GroundState, dense_frontend_update
+from ..nalo.plane_opt import GlobalPlane, plane_optimize, sw_gray_optimize
+from ..nalo import dense_map as dmap
 
 import jax
 
@@ -132,6 +135,15 @@ class FullSystem:
         self.imm_static, self.imm_trace = imm.empty_device_state(
             settings.max_window_frames, settings.max_immature_per_frame
         )
+        # NALO extensions: ground/scale state, per-KF masks, dense maps
+        self.ground_state = GroundState()
+        self.global_plane = GlobalPlane()
+        self.kf_masks: list = []      # parallel to window.frames
+        self.kf_images: list = []     # host intensity per KF
+        self.kf_bgr: list = []
+        self.dense_maps: dict = {}    # kf frame_id -> MapPointCloud
+        self.tsdf_volume = None
+        self._dense_max = 4096
         am = (settings.affine_opt_mode_a < 0, settings.affine_opt_mode_b < 0)
         self._affine_mode = {(False, False): 0, (False, True): 1,
                              (True, False): 2, (True, True): 3}[am]
@@ -206,6 +218,9 @@ class FullSystem:
         self.window.insert_frame(fs, first["dIs"][0])
         self.immatures.append(ImmatureStore(s.max_immature_per_frame))
         self.frame_pyramids[id(fs)] = (first["dIs"], first["absgrads"])
+        self.kf_masks.append(first.get("mask"))
+        self.kf_images.append(first.get("image"))
+        self.kf_bgr.append(first.get("bgr"))
 
         d = ini.pts[0]
         n = d["n"]
@@ -425,10 +440,15 @@ class FullSystem:
 
         fs = FrameState(len(self.all_kf_shells), shell, frame["exposure"], s)
         fs.set_eval_pt_scaled(shell.camToWorld.inverse(), *shell.aff_g2l)
+        fs.haveground = False
+        fs.groundP = np.zeros(4)
         self.all_kf_shells.append(shell)
         new_idx = self.window.insert_frame(fs, frame["dIs"][0])
         self.immatures.append(ImmatureStore(s.max_immature_per_frame))
         self.frame_pyramids[id(fs)] = (frame["dIs"], frame["absgrads"])
+        self.kf_masks.append(frame.get("mask"))
+        self.kf_images.append(frame.get("image"))
+        self.kf_bgr.append(frame.get("bgr"))
         self.statistics["n_keyframes"] += 1
 
         # residuals from all existing points to the new frame (:1334-1348)
@@ -458,11 +478,47 @@ class FullSystem:
 
         self._remove_outliers()
         self._set_tracker_ref(frame)
+
+        # --- PLANE/SCALE pipeline (reference FullSystem.cpp:1420-1443) ---
+        fs_n = self.window.frames[-1]
+        if (getattr(fs_n, "haveground", False) and s.plane_optimize
+                and fs_n.groundP[3] != 0):
+            if not self.global_plane.fixed:
+                gps = [getattr(f, "groundP", np.zeros(4)) for f in self.window.frames]
+                self.global_plane.set_global_plane(self.window.frames, gps, s.max_frames)
+            if self.ground_state.scale_fix and self.global_plane.fixed:
+                plane_optimize(self.window, self.global_plane.lgh, fs_n.groundP)
+                sw_gray_optimize(self.window, iters=3)
+
         self._flag_points_for_removal()
         self.window.nullspaces()
         self.window.marginalize_points(p.status == 1)
         p.status[:] = 0
         self._make_new_traces(frame, new_idx)
+
+        # --- dense surfel mapping on the 3rd-newest KF (:1488-1496) ---
+        if (self.global_plane.fixed and s.dense_mapping
+                and self.window.n_frames >= 3):
+            didx = self.window.n_frames - 3
+            if self.kf_masks[didx] is not None:
+                pm = self.window.pts
+                msk = pm.active & (pm.host == didx)
+                st = self.immatures[didx]
+                iu = np.concatenate([pm.u[msk], st.u[st.valid]])
+                iv = np.concatenate([pm.v[msk], st.v[st.valid]])
+                iid = np.concatenate([
+                    pm.idepth[msk],
+                    0.5 * (st.idepth_min[st.valid] + st.idepth_max[st.valid]),
+                ])
+                cloud = dmap.update_map(
+                    self.kf_masks[didx], iu, iv, iid,
+                    self.kf_images[didx], self.calib.Ki[0],
+                    self.calib.w[0], self.calib.h[0],
+                    bgr=self.kf_bgr[didx],
+                    seed=s.seed + self.window.frames[didx].frame_id,
+                )
+                if cloud is not None:
+                    self.dense_maps[self.window.frames[didx].frame_id] = cloud
 
         # marginalize flagged frames (:1506-1508)
         i = 0
@@ -774,9 +830,39 @@ class FullSystem:
         cp = w._last_center_proj[:, newest]
         hdif = np.divide(1.0, p.idepth_hessian, out=np.zeros_like(p.idepth_hessian), where=p.idepth_hessian > 0)
         weight = np.sqrt(1e-3 / (hdif + 1e-12)).astype(np.float32)
+
+        # --- NALO dense frontend (reference CoarseTracker.cpp:540-824) ---
+        fs_new = w.frames[newest]
+        D = self._dense_max
+        du = np.zeros(D, np.float32)
+        dv = np.zeros(D, np.float32)
+        did = np.zeros(D, np.float32)
+        dw = np.zeros(D, np.float32)
+        dvalid = np.zeros(D, bool)
+        mask_img = self.kf_masks[newest] if newest < len(self.kf_masks) else None
+        if self.s.dense_track and mask_img is not None:
+            res_df = dense_frontend_update(
+                mask_img, cp[m, 0], cp[m, 1], cp[m, 2],
+                self.kf_images[newest], self.calib.Ki[0],
+                self.calib.w[0], self.calib.h[0], self.ground_state,
+                seed=self.s.seed + frame["shell"].id,
+            )
+            if res_df is not None:
+                fs_new.haveground = res_df["have_ground"]
+                fs_new.groundP = np.asarray(res_df["groundP"])
+                if res_df["dense"] is not None:
+                    ddu, ddv, ddid, _ddc = res_df["dense"]
+                    n = min(len(ddu), D)
+                    du[:n], dv[:n], did[:n] = ddu[:n], ddv[:n], ddid[:n]
+                    dw[:n] = 1.0
+                    dvalid[:n] = True
+
         maps = make_coarse_depth_maps(
-            jnp.asarray(cp[:, 0]), jnp.asarray(cp[:, 1]), jnp.asarray(cp[:, 2]),
-            jnp.asarray(weight), jnp.asarray(m),
+            jnp.asarray(np.concatenate([cp[:, 0], du])),
+            jnp.asarray(np.concatenate([cp[:, 1], dv])),
+            jnp.asarray(np.concatenate([cp[:, 2], did])),
+            jnp.asarray(np.concatenate([weight, dw])),
+            jnp.asarray(np.concatenate([m, dvalid])),
             self.frame_pyramids[id(w.frames[newest])][0], self.shapes,
         )
         dIs = self.frame_pyramids[id(w.frames[newest])][0]
@@ -874,8 +960,30 @@ class FullSystem:
         fs = w.frames[idx]
         fs.shell.marginalizedAt = self.all_shells[-1].id
         self.frame_pyramids.pop(id(fs), None)
+        # TSDF fusion of the departing keyframe's points (setting_tsdf)
+        if self.s.tsdf:
+            from ..nalo.tsdf import TSDFVolume
+            if self.tsdf_volume is None:
+                self.tsdf_volume = TSDFVolume(size_m=60.0, resolution=128)
+            pm = w.pts
+            msk = pm.active & (pm.host == idx) & (pm.idepth > 1e-6)
+            if msk.any():
+                pts_w = dmap.key_frame_map(
+                    pm.u[msk], pm.v[msk], pm.idepth[msk],
+                    w.frames[idx].PRE_camToWorld, self.calib.K[0],
+                )
+                self.tsdf_volume.integrate_points(pts_w)
+            kf_id = w.frames[idx].frame_id
+            if kf_id in self.dense_maps:
+                cl = self.dense_maps[kf_id]
+                self.tsdf_volume.integrate_points(
+                    cl.world_points(w.frames[idx].PRE_camToWorld, self.calib.K[0])
+                )
         w.marginalize_frame(idx)
         del self.immatures[idx]
+        del self.kf_masks[idx]
+        del self.kf_images[idx]
+        del self.kf_bgr[idx]
         F = self.window.F
         perm = np.array(list(range(idx)) + list(range(idx + 1, F)) + [idx])
         self.imm_static, self.imm_trace = imm.shift_down(

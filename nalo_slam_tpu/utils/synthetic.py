@@ -59,3 +59,37 @@ class PlaneScene:
 
 def default_calib(w=320, h=240, f=250.0) -> PyramidCalib:
     return PyramidCalib.make(w, h, f, f, (w - 1) / 2.0, (h - 1) / 2.0)
+
+
+class GroundWallScene:
+    """Ground plane (world y = +y0, camera +y down) plus a back wall at
+    world z = z_wall; an MP-mask-style label image marks ground pixels 230
+    and wall pixels 100 (the reference's mask is a LiDAR-geometry prior
+    image where high values mean strong planar geometry)."""
+
+    def __init__(self, calib: PyramidCalib, y0: float = 1.5, z_wall: float = 8.0):
+        self.calib = calib
+        self.y0 = y0
+        self.z_wall = z_wall
+
+    def render(self, cam_to_world: SE3):
+        c = self.calib
+        w, h = c.w[0], c.h[0]
+        u, v = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+        d = np.stack(
+            [(u - c.cx[0]) / c.fx[0], (v - c.cy[0]) / c.fy[0], np.ones_like(u)], axis=-1
+        )
+        R, t = cam_to_world.R, cam_to_world.t
+        dw = d @ R.T
+        # ground: y = y0 ; wall: z = z_wall
+        s_g = np.where(dw[..., 1] > 1e-6, (self.y0 - t[1]) / dw[..., 1], np.inf)
+        s_w = np.where(dw[..., 2] > 1e-6, (self.z_wall - t[2]) / dw[..., 2], np.inf)
+        ground_hit = (s_g > 0.1) & (s_g < s_w)
+        s = np.where(ground_hit, s_g, s_w)
+        X = t[0] + s * dw[..., 0]
+        Y = t[1] + s * dw[..., 1]
+        Z = t[2] + s * dw[..., 2]
+        img = np.where(ground_hit, texture(X, Z), texture(X, Y) * 0.9 + 10)
+        idepth = 1.0 / s
+        mask = np.where(ground_hit, 230.0, 100.0).astype(np.float32)
+        return img.astype(np.float32), idepth.astype(np.float32), mask
