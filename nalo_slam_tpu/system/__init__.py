@@ -1,3 +1,4 @@
 from .full_system import FullSystem, FrameShell
+from .pipeline import PipelinedSystem
 
-__all__ = ["FullSystem", "FrameShell"]
+__all__ = ["FullSystem", "FrameShell", "PipelinedSystem"]

@@ -151,10 +151,9 @@ class FullSystem:
     # ==================================================================
     # Frame entry point (addActiveFrame :1034)
     # ==================================================================
-    def add_frame(self, image, exposure: float = 1.0, timestamp: float = 0.0,
-                  incoming_id: int = -1, mask=None, bgr=None):
-        if self.is_lost:
-            return
+    def prepare_frame(self, image, exposure: float = 1.0, timestamp: float = 0.0,
+                      incoming_id: int = -1, mask=None, bgr=None) -> dict:
+        """Shell + device pyramid for an incoming frame."""
         shell = FrameShell(len(self.all_shells), incoming_id, timestamp)
         self.all_shells.append(shell)
         self.statistics["n_frames"] += 1
@@ -162,41 +161,65 @@ class FullSystem:
         dIs, absgrads = build_pyramid(
             jnp.asarray(image), self.calib.levels, self.gamma_b_grad
         )
-        frame = dict(shell=shell, dIs=dIs, absgrads=absgrads, image=image,
-                     exposure=exposure, mask=mask, bgr=bgr)
+        return dict(shell=shell, dIs=dIs, absgrads=absgrads, image=image,
+                    exposure=exposure, mask=mask, bgr=bgr)
+
+    def add_frame(self, image, exposure: float = 1.0, timestamp: float = 0.0,
+                  incoming_id: int = -1, mask=None, bgr=None):
+        if self.is_lost:
+            return
+        frame = self.prepare_frame(image, exposure, timestamp, incoming_id, mask, bgr)
+        shell = frame["shell"]
 
         if not self.initialized:
             if self.initializer.frame_id < 0:
-                self.initializer.set_first(dIs, absgrads, exposure)
+                self.initializer.set_first(frame["dIs"], frame["absgrads"], exposure)
                 self._init_first_frame = frame
-            elif self.initializer.track_frame(dIs, exposure):
+            elif self.initializer.track_frame(frame["dIs"], exposure):
                 self._initialize_from_initializer(frame)
             else:
                 shell.poseValid = False
             return
 
+        need_kf = self.track_only(frame)
+        if need_kf is None:
+            return
+        self.map_frame(frame, need_kf)
+
+    def track_only(self, frame):
+        """Tracking-thread half: coarse track + KF decision.  Returns
+        need_kf, or None when tracking failed (isLost)."""
+        shell = frame["shell"]
         tres = self._track_new_coarse(frame)
         if not np.all(np.isfinite(tres)):
             self.is_lost = True
-            return
-
-        # KF decision (:1113-1132)
+            return None
         s = self.s
         ref = self.tracker_ref
         w0, h0 = self.calib.w[0], self.calib.h[0]
         rel_a, _ = self._aff_pair(ref["exposure"], frame["exposure"],
                                   ref["aff"], shell.aff_g2l)
-        need_kf = (
+        return bool(
             len(self.all_shells) == 1
             or s.kf_global_weight * s.max_shift_weight_t * np.sqrt(tres[1]) / (w0 + h0)
             + s.kf_global_weight * s.max_shift_weight_rt * np.sqrt(tres[2]) / (w0 + h0)
             + s.kf_global_weight * s.max_affine_weight * abs(np.log(rel_a)) > 1
             or 2 * self.first_coarse_rmse < tres[0]
         )
+
+    def map_frame(self, frame, need_kf: bool):
+        """Mapping-thread half (deliverTrackedFrame sequential mode)."""
         if need_kf:
             self._make_keyframe(frame)
         else:
             self._make_non_keyframe(frame)
+
+    def discard_frame(self, frame):
+        """Catch-up path: pose-only bookkeeping, frame dropped
+        (reference mappingLoop :1209-1230)."""
+        shell = frame["shell"]
+        if shell.trackingRef is not None:
+            shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
     @staticmethod
     def _aff_pair(exp_f, exp_t, aff_f, aff_t):

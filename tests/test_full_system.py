@@ -50,3 +50,33 @@ def test_synthetic_sequence_tracks():
     gt_xyz = np.stack([gt[k].t for k in ks])
     ate = ate_rmse(est_xyz, gt_xyz, with_scale=True)
     assert ate < 0.05, f"ATE {ate:.4f} m on synthetic plane sequence"
+
+
+@pytest.mark.slow
+def test_pipelined_system_matches_sequential():
+    from nalo_slam_tpu.system import PipelinedSystem
+
+    s = Settings(
+        max_window_frames=8, max_points=4096, max_immature_per_frame=1024,
+        desired_point_density=800.0, desired_immature_density=600.0,
+        use_lidar=False, dense_track=False, plane_optimize=False,
+    )
+    calib = default_calib(320, 240)
+    scene = PlaneScene(calib, z0=3.0)
+    n = 16
+    gt = make_trajectory(n)
+    sys_ = FullSystem(s, calib)
+    pipe = PipelinedSystem(sys_)
+    for k in range(n):
+        img, _ = scene.render(gt[k])
+        pipe.add_frame(img, 1.0, float(k), k)
+    pipe.finish()
+    assert sys_.initialized
+    assert not sys_.is_lost
+    rows = sys_.trajectory()
+    assert len(rows) >= 6
+    est = {int(r[0]): np.array(r[1:4]) for r in rows}
+    ks = sorted(est.keys())
+    est_xyz = np.stack([est[k] for k in ks])
+    gt_xyz = np.stack([gt[k].t for k in ks])
+    assert ate_rmse(est_xyz, gt_xyz, with_scale=True) < 0.08
