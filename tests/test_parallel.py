@@ -1,0 +1,70 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nalo_slam_tpu.config import Settings
+from nalo_slam_tpu.geometry import SE3
+from nalo_slam_tpu.ops import build_pyramid
+from nalo_slam_tpu.parallel import make_mesh, MultiSeqTracker
+from nalo_slam_tpu.utils.synthetic import PlaneScene, default_calib
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+
+@pytest.mark.slow
+def test_multiseq_tracks_batch_of_sequences():
+    B = 8
+    calib = default_calib(160, 120, f=130.0)
+    mesh = make_mesh(dp=8, tp=1)
+    s = Settings()
+    shapes = tuple((calib.h[l], calib.w[l]) for l in range(calib.levels))
+    Ks = tuple(
+        (float(calib.fx[l]), float(calib.fy[l]), float(calib.cx[l]), float(calib.cy[l]))
+        for l in range(calib.levels)
+    )
+    tracker = MultiSeqTracker(shapes, Ks, s, mesh)
+
+    # B sequences = same scene, different GT motions
+    scene = PlaneScene(calib, z0=3.0)
+    gts = [SE3.exp(np.array([0.04 + 0.005 * b, 0.01 * b * 0.1, 0.02, 0, 0.004, 0]))
+           for b in range(B)]
+    ref_img, ref_id = scene.render(SE3())
+    ref_dIs, _ = build_pyramid(jnp.asarray(ref_img), calib.levels)
+    maps_b, colors_b, new_b = [], [], []
+    for lvl in range(calib.levels):
+        h, w = calib.h[lvl], calib.w[lvl]
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        valid = (xx >= 2) & (xx < w - 2) & (yy >= 2) & (yy < h - 2)
+        idl = ref_id
+        for _ in range(lvl):
+            idl = 0.25 * (idl[0::2, 0::2] + idl[0::2, 1::2] + idl[1::2, 0::2] + idl[1::2, 1::2])
+        maps_b.append((
+            jnp.broadcast_to(jnp.asarray(idl), (B,) + idl.shape),
+            jnp.broadcast_to(jnp.asarray(valid), (B,) + valid.shape),
+        ))
+        colors_b.append(jnp.broadcast_to(ref_dIs[lvl][..., 0], (B,) + ref_dIs[lvl].shape[:2]))
+
+    new_imgs = [scene.render(g)[0] for g in gts]
+    new_pyrs = [build_pyramid(jnp.asarray(im), calib.levels)[0] for im in new_imgs]
+    for lvl in range(calib.levels):
+        new_b.append(jnp.stack([p[lvl] for p in new_pyrs]))
+
+    R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    t0 = jnp.zeros((B, 3), jnp.float32)
+    ab0 = jnp.zeros((B, 2), jnp.float32)
+    exps = jnp.ones((B, 2), jnp.float32)
+    raff = jnp.zeros((B, 2), jnp.float32)
+
+    R, t, ab, res, flow, ok = tracker.track(
+        R0, t0, ab0, tuple(maps_b), tuple(colors_b), tuple(new_b), exps, raff
+    )
+    res = np.asarray(res)
+    assert res.shape == (B, calib.levels)
+    for b in range(B):
+        ref_to_new = gts[b].inverse()  # ref pose is identity
+        assert np.asarray(ok)[b]
+        np.testing.assert_allclose(np.asarray(t)[b], ref_to_new.t, atol=5e-3)
