@@ -784,7 +784,8 @@ def _wo_device_inputs(self):
     ns = self.nullspaces()
     N = np.stack([v / (np.linalg.norm(v) + 1e-30) for v in ns], axis=1)
     U, S_, Vt = np.linalg.svd(N, full_matrices=False)
-    Sinv = np.where(S_ > self.s.solver_mode_delta * S_.max(), 1.0 / S_, 0.0)
+    with np.errstate(divide="ignore"):
+        Sinv = np.where(S_ > self.s.solver_mode_delta * S_.max(), 1.0 / S_, 0.0)
     Npi = U * Sinv[None, :] @ Vt
     NNpiT = N @ Npi.T
     NNpiTS = np.zeros((n, n), np.float32)
