@@ -68,6 +68,24 @@ class ImageFolderReader:
         if colors_path:
             _, self.color_files = _list_images(colors_path)
 
+        # fused native preprocessing (gamma+vignette+remap in one pass,
+        # multithreaded; nalo_slam_tpu/native)
+        self.native = None
+        try:
+            from ..native import FramePipeline, native_available
+            if native_available() and not self.undistorter.passthrough:
+                vig = self.photo.vignette_inv
+                vig = None if np.all(vig == 1.0) else vig
+                g = np.interp(np.arange(256),
+                              np.linspace(0, 255, len(self.photo.G)), self.photo.G)
+                self.native = FramePipeline(
+                    self.undistorter.remap_x, self.undistorter.remap_y,
+                    g.astype(np.float32), vig,
+                    (self.undistorter.h_org, self.undistorter.w_org),
+                )
+        except Exception:
+            self.native = None
+
         self.timestamps = None
         self.exposures = None
         times = os.path.join(os.path.dirname(images_path.rstrip("/")), "times.txt")
@@ -122,8 +140,11 @@ class ImageFolderReader:
         if raw.ndim == 3:
             raw = cv2.cvtColor(raw, cv2.COLOR_BGR2GRAY)
         exposure = float(self.exposures[idx]) if self.exposures is not None else 1.0
-        irr, exposure = self.photo.process(raw, exposure)
-        img = self.undistorter.undistort_image(irr)
+        if self.native is not None and raw.dtype == np.uint8:
+            img = self.native.process(raw)
+        else:
+            irr, exposure = self.photo.process(raw, exposure)
+            img = self.undistorter.undistort_image(irr)
 
         mask = None
         if self.mask_files and idx < len(self.mask_files):
