@@ -416,6 +416,17 @@ def make_final_fix(settings, F: int, P: int):
         )
         res2 = dict(res, exists=exists, state=new_state, active=new_active,
                     linearized=new_linearized, energy=energy)
-        return res2, jstore2, act_energy, nres_in, center_newest
+        # single-pull encodings: residual flags as a bitfield, scalars packed
+        res_bits = (
+            exists.astype(jnp.uint8)
+            + (new_state.astype(jnp.uint8) << 1)      # 2 bits
+            + (new_active.astype(jnp.uint8) << 3)
+            + (new_linearized.astype(jnp.uint8) << 4)
+        )
+        small = jnp.concatenate([
+            act_energy[None].astype(jnp.float32),
+            nres_in[None].astype(jnp.float32),
+        ])
+        return res2, jstore2, res_bits, small, center_newest
 
     return final_fix

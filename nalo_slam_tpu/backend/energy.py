@@ -319,6 +319,8 @@ class WindowOptimizer:
         if isnew.any():
             p.num_good_res += isnew.sum(1).astype(np.int32)
         self._last_center_proj = np.asarray(out["center_proj"])
+        if self.n_frames > 0:
+            self._center_newest_dev = out["center_proj"][:, self.n_frames - 1]
 
         self.last_energy = float(energy[active_set].sum())
 
@@ -735,6 +737,8 @@ class WindowOptimizer:
         for k2, v2 in self.jstore.items():
             st[k2] = v2[:, jnp.asarray(new_order)]
         self.jstore = st
+        if getattr(self, "_r_energy_dev", None) is not None:
+            self._r_energy_dev = self._r_energy_dev[:, jnp.asarray(new_order)]
         self.set_adjoints()
 
 
@@ -821,12 +825,15 @@ def _wo_pack_pts(self):
 
 def _wo_pack_res(self):
     p = self.pts
+    energy = getattr(self, "_r_energy_dev", None)
+    if energy is None:
+        energy = jnp.asarray(p.r_energy)
     return dict(
         exists=jnp.asarray(p.r_exists),
         state=jnp.asarray(p.r_state.astype(np.int32)),
         active=jnp.asarray(p.r_active),
         linearized=jnp.asarray(p.r_linearized),
-        energy=jnp.asarray(p.r_energy),
+        energy=energy,
     )
 
 
@@ -890,28 +897,32 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     for h in range(self.n_frames):
         for t in range(self.n_frames):
             dpair[h, t] = d8[h] @ self.ad_host[h, t] + d8[t] @ self.ad_target[h, t]
-    res3, jstore3, act_energy, nres_in, center_newest = self._dev_fix(
+    res3, jstore3, res_bits, small, center_newest = self._dev_fix(
         self.images, pts2, res2, self.jstore,
         jnp.asarray(states_f), jnp.asarray(self.calib_value, jnp.float32),
         jnp.asarray(f_eth), inp2, jnp.asarray(dpair), jnp.int32(newest),
     )
     self.jstore = jstore3
 
-    # sync numpy mirrors
+    # sync numpy mirrors with THREE pulls: pts pack, bitfield, scalars
     p = self.pts
-    p.idepth = np.array(pts2["idepth"])
-    p.idepth_zero = np.array(pts2["idepth_zero"])
-    p.idepth_hessian = np.array(pts2["idepth_hessian"])
-    p.r_exists = np.array(res3["exists"])
-    p.r_state = np.array(res3["state"]).astype(np.int8)
-    p.r_active = np.array(res3["active"])
-    p.r_linearized = np.array(res3["linearized"])
-    p.r_energy = np.array(res3["energy"])
-    cp = np.zeros((self.P, self.F, 3), np.float32)
-    cp[:, newest, :] = np.asarray(center_newest)
-    self._last_center_proj = cp
-    self.res_in_a = max(int(nres_in), 1)
-    self.last_energy = float(act_energy)
+    pts_pack = np.asarray(jnp.stack(
+        [pts2["idepth"], pts2["idepth_zero"], pts2["idepth_hessian"]], axis=-1
+    ))
+    p.idepth = np.ascontiguousarray(pts_pack[:, 0])
+    p.idepth_zero = np.ascontiguousarray(pts_pack[:, 1])
+    p.idepth_hessian = np.ascontiguousarray(pts_pack[:, 2])
+    bits = np.asarray(res_bits)
+    p.r_exists = (bits & 1).astype(bool)
+    p.r_state = ((bits >> 1) & 3).astype(np.int8)
+    p.r_active = ((bits >> 3) & 1).astype(bool)
+    p.r_linearized = ((bits >> 4) & 1).astype(bool)
+    # r_energy and the newest-column center projections stay device-resident
+    self._r_energy_dev = res3["energy"]
+    self._center_newest_dev = center_newest
+    small_np = np.asarray(small)
+    self.res_in_a = max(int(small_np[1]), 1)
+    self.last_energy = float(small_np[0])
     rmse = float(np.sqrt(self.last_energy / (8.0 * self.res_in_a)))
 
     for f in self.frames:
@@ -921,6 +932,13 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     return rmse
 
 
+def _wo_sync_r_energy(self):
+    if getattr(self, "_r_energy_dev", None) is not None:
+        self.pts.r_energy = np.array(self._r_energy_dev)
+    return self.pts.r_energy
+
+
+WindowOptimizer.sync_r_energy = _wo_sync_r_energy
 WindowOptimizer.device_inputs = _wo_device_inputs
 WindowOptimizer.pack_pts = _wo_pack_pts
 WindowOptimizer.pack_res = _wo_pack_res

@@ -446,3 +446,14 @@ def pack_for_host(static, trace):
         ],
         axis=-1,
     )
+
+
+@jax.jit
+def make_immature_data_packed(dI, u, v):
+    """make_immature_data with a single packed output (N, 21):
+    [color(8) | weights(8) | gradH flat(4) | ok(1)] -- one host pull."""
+    color, w, gradH, ok = make_immature_data(dI, u, v)
+    return jnp.concatenate(
+        [color, w, gradH.reshape(gradH.shape[0], 4), ok[:, None].astype(jnp.float32)],
+        axis=-1,
+    )

@@ -16,6 +16,8 @@ from ..geometry import SE3
 
 def save_checkpoint(path: str, system) -> None:
     w = system.window
+    if hasattr(w, "sync_r_energy"):
+        w.sync_r_energy()
     p = w.pts
     arrays = {}
     # points + residual slots

@@ -850,7 +850,7 @@ class FullSystem:
         # points with IN residual to the newest frame; projection from the
         # final linearization (centerProjectedTo)
         m = p.active & p.r_exists[:, newest] & (p.r_state[:, newest] == RES_IN)
-        cp = w._last_center_proj[:, newest]
+        cp_dev = w._center_newest_dev  # (P, 3), device-resident
         hdif = np.divide(1.0, p.idepth_hessian, out=np.zeros_like(p.idepth_hessian), where=p.idepth_hessian > 0)
         weight = np.sqrt(1e-3 / (hdif + 1e-12)).astype(np.float32)
 
@@ -864,6 +864,7 @@ class FullSystem:
         dvalid = np.zeros(D, bool)
         mask_img = self.kf_masks[newest] if newest < len(self.kf_masks) else None
         if self.s.dense_track and mask_img is not None:
+            cp = np.asarray(cp_dev)  # pull only when the mask path runs
             res_df = dense_frontend_update(
                 mask_img, cp[m, 0], cp[m, 1], cp[m, 2],
                 self.kf_images[newest], self.calib.Ki[0],
@@ -881,11 +882,11 @@ class FullSystem:
                     dvalid[:n] = True
 
         maps = make_coarse_depth_maps(
-            jnp.asarray(np.concatenate([cp[:, 0], du])),
-            jnp.asarray(np.concatenate([cp[:, 1], dv])),
-            jnp.asarray(np.concatenate([cp[:, 2], did])),
+            jnp.concatenate([cp_dev[:, 0], jnp.asarray(du)]),
+            jnp.concatenate([cp_dev[:, 1], jnp.asarray(dv)]),
+            jnp.concatenate([cp_dev[:, 2], jnp.asarray(did)]),
             jnp.asarray(np.concatenate([weight, dw])),
-            jnp.asarray(np.concatenate([m, dvalid])),
+            jnp.concatenate([jnp.asarray(m), jnp.asarray(dvalid)]),
             self.frame_pyramids[id(w.frames[newest])][0], self.shapes,
         )
         dIs = self.frame_pyramids[id(w.frames[newest])][0]
@@ -932,11 +933,13 @@ class FullSystem:
         ys_p = np.zeros(M, np.float32)
         xs_p[:n] = xs
         ys_p[:n] = ys
-        col, wgt, gradH, ok = imm.make_immature_data(
+        packed_imm = np.asarray(imm.make_immature_data_packed(
             dIs[0], jnp.asarray(xs_p), jnp.asarray(ys_p)
-        )
-        col, wgt, gradH, ok = map(np.asarray, (col, wgt, gradH, ok))
-        ok = ok.copy()
+        ))
+        col = packed_imm[:, 0:8]
+        wgt = packed_imm[:, 8:16]
+        gradH = packed_imm[:, 16:20].reshape(-1, 2, 2)
+        ok = packed_imm[:, 20] > 0.5
         ok[n:] = False
         st.valid[:n] = ok[:n]
         st.u[:n] = xs
