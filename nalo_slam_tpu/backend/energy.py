@@ -909,9 +909,9 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     pts_pack = np.asarray(jnp.stack(
         [pts2["idepth"], pts2["idepth_zero"], pts2["idepth_hessian"]], axis=-1
     ))
-    p.idepth = np.ascontiguousarray(pts_pack[:, 0])
-    p.idepth_zero = np.ascontiguousarray(pts_pack[:, 1])
-    p.idepth_hessian = np.ascontiguousarray(pts_pack[:, 2])
+    p.idepth = np.array(pts_pack[:, 0])
+    p.idepth_zero = np.array(pts_pack[:, 1])
+    p.idepth_hessian = np.array(pts_pack[:, 2])
     bits = np.asarray(res_bits)
     p.r_exists = (bits & 1).astype(bool)
     p.r_state = ((bits >> 1) & 3).astype(np.int8)
