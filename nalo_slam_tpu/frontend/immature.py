@@ -40,6 +40,13 @@ IPS_UNINITIALIZED = 5
 _N_STEPS = 100
 
 
+def n_steps_for(w_img: int, h_img: int, max_pix_search_frac: float) -> int:
+    """The discrete search never exceeds maxPixSearch pixels (reference
+    :225-230), so size the slot axis to the geometry instead of the
+    worst-case 100 (gathers are the cost on TPU)."""
+    return min(_N_STEPS, int((w_img + h_img) * max_pix_search_frac) + 3)
+
+
 @jax.jit
 def make_immature_data(dI, u, v):
     """Pattern colors, weights, gradH, energyTH ingredients for new points.
@@ -58,7 +65,7 @@ def make_immature_data(dI, u, v):
     return color, w, gradH, ok
 
 
-@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img"))
+@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img", "n_steps"))
 def trace_points(
     new_dI,                       # (H, W, 3)
     u, v, color, weights, gradH,  # (N,), (N,8), (N,2,2)
@@ -67,7 +74,7 @@ def trace_points(
     host_KRKi, host_Kt, host_aff, # (Fh,3,3), (Fh,3), (Fh,2) per host frame
     p_host,                       # (N,) int32
     max_pix_search_frac,          # scalar (setting_maxPixSearch)
-    huber_th: float, w_img: int, h_img: int,
+    huber_th: float, w_img: int, h_img: int, n_steps: int = _N_STEPS,
 ):
     """Vectorized ImmaturePoint::traceOn.  Returns new (idepth_min,
     idepth_max, status, quality, pixel_interval, last_u, last_v)."""
@@ -122,7 +129,7 @@ def trace_points(
     dyn = dy / jnp.maximum(dist, 1e-9)
     dir_finite = jnp.isfinite(dxn) & jnp.isfinite(dyn)
     dist_c = jnp.minimum(dist, max_pix_search)
-    num_steps = jnp.minimum((1.9999 + dist_c).astype(jnp.int32), _N_STEPS - 1)
+    num_steps = jnp.minimum((1.9999 + dist_c).astype(jnp.int32), n_steps - 1)
     rand_shift = u_min * 1000.0 - jnp.floor(u_min * 1000.0)
     ptx = u_min - rand_shift * dxn
     pty = v_min - rand_shift * dyn
@@ -130,7 +137,7 @@ def trace_points(
     rot = KRKi[:, :2, :2]  # Rplane (:233)
     rp = jnp.einsum("nij,kj->nki", rot, pat, precision="highest")  # (N,8,2)
 
-    steps = jnp.arange(_N_STEPS, dtype=jnp.float32)
+    steps = jnp.arange(n_steps, dtype=jnp.float32)
     sx = ptx[:, None] + steps[None, :] * dxn[:, None]     # (N,100)
     sy = pty[:, None] + steps[None, :] * dyn[:, None]
     px = sx[:, :, None] + rp[:, None, :, 0]               # (N,100,8)
@@ -151,7 +158,7 @@ def trace_points(
     best_v = pty + best_idx.astype(jnp.float32) * dyn
 
     # second best outside +-2 (setting_minTraceTestRadius)
-    idxs = jnp.arange(_N_STEPS)
+    idxs = jnp.arange(n_steps)
     far = jnp.abs(idxs[None, :] - best_idx[:, None]) > 2
     second = jnp.min(jnp.where(far, energies, 1e10), axis=-1)
     new_quality = second / jnp.maximum(best_energy, 1e-12)
@@ -328,7 +335,12 @@ def activate_points(
 
     ngood = jnp.sum(res_in, axis=-1)
     ok = ok0 & jnp.isfinite(idepth) & (Hdd >= min_idepth_h_act) & (ngood >= 1)
-    return idepth, ok, res_in
+    # packed single-pull output: [idepth | ok | res_in(F)]
+    packed = jnp.concatenate(
+        [idepth[:, None], ok[:, None].astype(jnp.float32),
+         res_in.astype(jnp.float32)], axis=-1
+    )
+    return packed
 
 
 def distance_map(point_u, point_v, valid, h1, w1, iters=40):
@@ -411,9 +423,10 @@ def set_valid(static, valid):
     return dict(static, valid=valid)
 
 
-@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img", "F", "M"))
+@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img", "F", "M", "n_steps"))
 def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
-                 huber_th: float, w_img: int, h_img: int, F: int, M: int):
+                 huber_th: float, w_img: int, h_img: int, F: int, M: int,
+                 n_steps: int = _N_STEPS):
     """One-call traceNewCoarse over the whole device-resident store."""
     hosts = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
     res = trace_points(
@@ -421,7 +434,7 @@ def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
         static["gradH"], trace["idepth_min"], trace["idepth_max"],
         trace["status"], trace["quality"], static["energy_th"],
         KRKi, Kt, affs, hosts, max_pix_search_frac,
-        huber_th=huber_th, w_img=w_img, h_img=h_img,
+        huber_th=huber_th, w_img=w_img, h_img=h_img, n_steps=n_steps,
     )
     id_min, id_max, status, quality, interval, _, _ = res
     v = static["valid"]

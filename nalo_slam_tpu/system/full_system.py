@@ -447,6 +447,7 @@ class FullSystem:
             self.s.max_pix_search,
             huber_th=self.s.huber_th, w_img=c.w[0], h_img=c.h[0],
             F=F, M=M,
+            n_steps=imm.n_steps_for(c.w[0], c.h[0], self.s.max_pix_search),
         )
 
     # ==================================================================
@@ -765,7 +766,7 @@ class FullSystem:
             out[:N] = a
             return out
 
-        idepth, ok, res_in = imm.activate_points(
+        packed_act = np.asarray(imm.activate_points(
             w.images,
             jnp.asarray(padded(u)), jnp.asarray(padded(v)),
             jnp.asarray(padded(col)), jnp.asarray(padded(wgt)),
@@ -776,10 +777,10 @@ class FullSystem:
             self.s.min_idepth_h_act,
             iters=self.s.gn_its_on_point_activation,
             huber_th=self.s.huber_th, w_img=self.calib.w[0], h_img=self.calib.h[0],
-        )
-        idepth = np.asarray(idepth)[:N]
-        ok = np.asarray(ok)[:N]
-        res_in = np.asarray(res_in)[:N]
+        ))[:N]
+        idepth = packed_act[:, 0]
+        ok = packed_act[:, 1] > 0.5
+        res_in = packed_act[:, 2:] > 0.5
 
         # insert activated points
         for hh in range(nf):
