@@ -45,11 +45,15 @@ def main():
 
     n_frames = 60
     frames = []
+    rng = np.random.default_rng(7)
     for k in range(n_frames):
         xi = np.array([0.05 * k, 0.008 * np.sin(0.2 * k), 0.01 * k,
                        0.0, 0.002 * np.sin(0.11 * k), 0.0])
         img, _ = scene.render(SE3.exp(xi))
-        frames.append(img)
+        # sensor noise: keeps residual statistics realistic (a noiseless
+        # render makes relative residual fluctuations trigger the re-track
+        # ladder constantly, which no real sequence does)
+        frames.append(img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
 
     sys_ = FullSystem(s, calib)
     frame_times = []
