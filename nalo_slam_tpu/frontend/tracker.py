@@ -281,10 +281,14 @@ def _se3_exp_f32(xi):
     return lie.se3_exp(xi)
 
 
-def make_track_fn(shapes, Ks, settings, affine_mode: int):
-    """Build the jitted full-pyramid tracker for a fixed geometry.
+def make_track_fn(shapes, Ks, settings, affine_mode: int, min_level: int = 0):
+    """Build the jitted pyramid tracker for a fixed geometry.
 
     shapes: tuple of (h, w) per level; Ks: (fx, fy, cx, cy) arrays per level.
+    min_level > 0 builds a coarse-only descent (levels L-1..min_level) --
+    used to triage the 26-hypothesis ladder cheaply before one full descent
+    on the winner (the batched analog of the reference's per-level early
+    abort, FullSystem.cpp:516-656).
     Returns track(R0, t0, ab0, ref_maps, ref_colors, new_dIs, exposures,
     ref_aff) -> (R, t, ab, last_res (L,), flow (2,), ok_affine).
     """
@@ -390,7 +394,7 @@ def make_track_fn(shapes, Ks, settings, affine_mode: int):
         flow_out = jnp.full((2,), 1000.0, jnp.float32)
         have_repeated = jnp.bool_(False)
 
-        for lvl in range(levels - 1, -1, -1):
+        for lvl in range(levels - 1, min_level - 1, -1):
             inputs = (
                 ref_maps[lvl][0], ref_maps[lvl][1], ref_colors[lvl],
                 new_dIs[lvl], exposures, ref_aff,
@@ -422,7 +426,7 @@ def make_track_fn(shapes, Ks, settings, affine_mode: int):
             ok = ok & (jnp.abs(ab[0]) < 1.2)
         if affine_mode in (0, 2):  # b optimized
             ok = ok & (jnp.abs(ab[1]) < 200.0)
-        ok = ok & jnp.isfinite(last_res[0])
+        ok = ok & jnp.isfinite(last_res[min_level])
         return R, t, ab, last_res, flow_out, ok
 
     return track

@@ -321,10 +321,11 @@ class FullSystem:
                     tries.append(const * SE3.rot_xyzw(sx, sy, sz, 1.0))
         return tries
 
-    def _get_track_fn(self, batched: bool):
-        key = batched
+    def _get_track_fn(self, batched: bool, min_level: int = 0):
+        key = (batched, min_level)
         if key not in self._track_fns:
-            base = make_track_fn(self.shapes, self.Ks, self.s, self._affine_mode)
+            base = make_track_fn(self.shapes, self.Ks, self.s, self._affine_mode,
+                                 min_level=min_level)
 
             def packed(*args):
                 R, t, ab, res, flow, ok = base(*args)
@@ -351,11 +352,11 @@ class FullSystem:
         ok = out[..., 16 + L] > 0.5
         return R, t, ab, res, flow, ok
 
-    def _run_track(self, R0s, t0s, ab0s, new_dIs, batched: bool):
+    def _run_track(self, R0s, t0s, ab0s, new_dIs, batched: bool, min_level: int = 0):
         ref = self.tracker_ref
         exps = jnp.asarray([ref["exposure"], self._cur_exposure], jnp.float32)
         ref_aff = jnp.asarray(ref["aff"], jnp.float32)
-        fn = self._get_track_fn(batched)
+        fn = self._get_track_fn(batched, min_level)
         return fn(R0s, t0s, ab0s, ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
 
     def _track_new_coarse(self, frame):
@@ -380,17 +381,26 @@ class FullSystem:
             Rs = np.stack([x.Rt32()[0] for x in tries])
             ts = np.stack([x.Rt32()[1] for x in tries])
             abs_ = np.tile(aff0, (n, 1))
+            # two-stage ladder: triage all hypotheses on coarse levels only,
+            # then one full descent from the winner
+            ml = min(2, self.calib.levels - 1)
             packed_b = np.asarray(self._run_track(
-                jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_), frame["dIs"], True
+                jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_), frame["dIs"],
+                True, min_level=ml,
             ))
             Rb, tb, abb, resb, flowb, okb = self._unpack_track(packed_b)
-            okb = okb & np.isfinite(resb[:, 0])
+            okb = okb & np.isfinite(resb[:, ml])
             if okb.any():
-                cand = np.where(okb, resb[:, 0], np.inf)
+                cand = np.where(okb, resb[:, ml], np.inf)
                 bi = int(np.argmin(cand))
-                best = (Rb[bi].astype(np.float64), tb[bi].astype(np.float64),
-                        abb[bi].astype(np.float64), resb[bi], flowb[bi])
-                good = True
+                packed_w = np.asarray(self._run_track(
+                    jnp.asarray(Rb[bi]), jnp.asarray(tb[bi]),
+                    jnp.asarray(abb[bi]), frame["dIs"], False,
+                ))
+                Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(packed_w)
+                best = (Rw2.astype(np.float64), tw2.astype(np.float64),
+                        abw2.astype(np.float64), resw2, floww2)
+                good = bool(okw2) and np.isfinite(resw2[0])
             else:
                 good = False
 
