@@ -164,10 +164,20 @@ class FullSystem:
         return dict(shell=shell, dIs=dIs, absgrads=absgrads, image=image,
                     exposure=exposure, mask=mask, bgr=bgr)
 
+    def set_mask_predictor(self, predictor):
+        """Online MP-mask source: when set and no mask PNG accompanies a
+        frame, the BTS net generates the prior on-device (SURVEY.md §7
+        phase 6 -- mask fused into the frontend instead of loaded from
+        disk)."""
+        self._mask_predictor = predictor
+
     def add_frame(self, image, exposure: float = 1.0, timestamp: float = 0.0,
                   incoming_id: int = -1, mask=None, bgr=None):
         if self.is_lost:
             return
+        if (mask is None and self.s.use_lidar
+                and getattr(self, "_mask_predictor", None) is not None):
+            mask = self._mask_predictor.predict_mask(np.asarray(image))
         frame = self.prepare_frame(image, exposure, timestamp, incoming_id, mask, bgr)
         shell = frame["shell"]
 
