@@ -71,8 +71,9 @@ class SampleOutputWrapper(Output3DWrapper):
             self.points.append(np.asarray(xyz_world))
 
     def join(self):
-        if self.points:
-            write_pcd(self.pcd_path, np.concatenate(self.points))
+        pts = (np.concatenate(self.points) if self.points
+               else np.zeros((0, 3), np.float32))
+        write_pcd(self.pcd_path, pts)
 
 
 class TrajectoryWriter(Output3DWrapper):

@@ -53,6 +53,7 @@ def run(argv: list[str]) -> int:
 
     sys_ = build_system(settings, reader)
     pcd_out = SampleOutputWrapper(extras.get("pcd", "pcl_data_tmp.pcd"))
+    sys_.output_wrappers.append(pcd_out)
 
     t_start = time.time()
     n_done = 0
@@ -74,6 +75,7 @@ def run(argv: list[str]) -> int:
             # full reset preserving output wrappers (reference :596-616)
             print("RESETTING (init failed)")
             sys_ = build_system(settings, reader)
+            sys_.output_wrappers.append(pcd_out)
         if sys_.is_lost:
             print("LOST!")
             break
@@ -86,6 +88,9 @@ def run(argv: list[str]) -> int:
         f"{1000 * wall / max(n_done, 1):.1f} ms/frame)"
     )
     TrajectoryWriter(extras.get("output", "result.txt")).write(sys_)
+    # flush keyframes still in the window so short runs export a cloud too
+    for fs in sys_.window.frames:
+        pcd_out.publish_keyframes([fs], True, sys_.window, sys_.calib)
     pcd_out.join()
     return 0
 

@@ -135,6 +135,8 @@ class FullSystem:
         self.imm_static, self.imm_trace = imm.empty_device_state(
             settings.max_window_frames, settings.max_immature_per_frame
         )
+        self.output_wrappers: list = []
+        self._marg_points: dict = {}   # kf frame_id -> [(n,3) u,v,idepth]
         # NALO extensions: ground/scale state, per-KF masks, dense maps
         self.ground_state = GroundState()
         self.global_plane = GlobalPlane()
@@ -194,6 +196,11 @@ class FullSystem:
         need_kf = self.track_only(frame)
         if need_kf is None:
             return
+        for ow in self.output_wrappers:
+            try:
+                ow.publish_cam_pose(shell, self.calib)
+            except Exception:
+                pass
         self.map_frame(frame, need_kf)
 
     def track_only(self, frame):
@@ -536,6 +543,16 @@ class FullSystem:
 
         self._flag_points_for_removal()
         self.window.nullspaces()
+        # archive marginalized points per host KF so they can be published
+        # with the final pose when the frame leaves the window (the
+        # reference's pointHessiansMarginalized -> SampleOutputWrapper path)
+        marg_sel = (p.status == 1) & p.active
+        if marg_sel.any():
+            for hh in np.unique(p.host[marg_sel]):
+                mm = marg_sel & (p.host == hh)
+                fid = self.window.frames[int(hh)].frame_id
+                arch = self._marg_points.setdefault(fid, [])
+                arch.append(np.stack([p.u[mm], p.v[mm], p.idepth[mm]], 1))
         self.window.marginalize_points(p.status == 1)
         p.status[:] = 0
         self._make_new_traces(frame, new_idx)
@@ -998,6 +1015,32 @@ class FullSystem:
     def _marginalize_frame(self, idx):
         w = self.window
         p = w.pts
+        # publish the departing keyframe's marginalized points with its
+        # final pose (reference FullSystemMarginalize.cpp:190-196 +
+        # SampleOutputWrapper.h:84-197)
+        kfid0 = w.frames[idx].frame_id
+        arch = self._marg_points.pop(kfid0, None)
+        if arch and self.output_wrappers:
+            uvi = np.concatenate(arch)
+            pts_w = dmap.key_frame_map(
+                uvi[:, 0], uvi[:, 1], uvi[:, 2],
+                w.frames[idx].PRE_camToWorld, self.calib.K[0],
+            )
+            for ow in self.output_wrappers:
+                if hasattr(ow, "add_map_points"):
+                    ow.add_map_points(pts_w)
+        for ow in self.output_wrappers:
+            try:
+                ow.publish_keyframes([w.frames[idx]], True, w, self.calib)
+            except Exception:
+                pass
+        if kfid0 in self.dense_maps:
+            cl = self.dense_maps[kfid0]
+            for ow in self.output_wrappers:
+                if hasattr(ow, "add_map_points"):
+                    ow.add_map_points(
+                        cl.world_points(w.frames[idx].PRE_camToWorld, self.calib.K[0])
+                    )
         # drop residuals targeting this frame (FullSystemMarginalize :152-215)
         tgt = p.r_exists[:, idx]
         p.r_exists[:, idx] = False
