@@ -749,10 +749,6 @@ class WindowOptimizer:
 from . import device_opt as D  # noqa: E402
 
 
-class _DeviceOptMixin:
-    pass
-
-
 def _wo_device_inputs(self):
     """Pack the per-KF constants for the device loop."""
     F = self.F
