@@ -55,14 +55,18 @@ def main():
         # ladder constantly, which no real sequence does)
         frames.append(img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
 
+    from nalo_slam_tpu.system import PipelinedSystem
+
     sys_ = FullSystem(s, calib)
+    pipe = PipelinedSystem(sys_)  # reference's real-time mode: mapping async
     frame_times = []
     for k, img in enumerate(frames):
         t0 = time.perf_counter()
-        sys_.add_frame(img, exposure=1.0, timestamp=float(k), incoming_id=k)
+        pipe.add_frame(img, exposure=1.0, timestamp=float(k), incoming_id=k)
         frame_times.append(time.perf_counter() - t0)
         if sys_.is_lost:
             break
+    pipe.finish()
 
     # steady state: skip init/compile warmup, median is robust to the
     # remaining one-time compile spikes

@@ -921,10 +921,17 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     self.last_energy = float(small_np[0])
     rmse = float(np.sqrt(self.last_energy / (8.0 * self.res_in_a)))
 
-    for f in self.frames:
-        if f.shell is not None:
-            f.shell.camToWorld = f.PRE_camToWorld
-            f.shell.aff_g2l = f.aff_g2l()
+    lock = getattr(self, "shell_lock", None)
+    if lock is not None:
+        lock.acquire()
+    try:
+        for f in self.frames:
+            if f.shell is not None:
+                f.shell.camToWorld = f.PRE_camToWorld
+                f.shell.aff_g2l = f.aff_g2l()
+    finally:
+        if lock is not None:
+            lock.release()
     return rmse
 
 

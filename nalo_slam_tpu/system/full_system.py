@@ -39,6 +39,7 @@ from ..nalo.plane_opt import GlobalPlane, plane_optimize, sw_gray_optimize
 from ..nalo import dense_map as dmap
 
 import jax
+import threading
 
 
 def _host_selector_pyramid(img: np.ndarray, b_grad: np.ndarray | None):
@@ -136,6 +137,9 @@ class FullSystem:
             settings.max_window_frames, settings.max_immature_per_frame
         )
         self.output_wrappers: list = []
+        # pose-consistency lock (reference shellPoseMutex, FullSystem.h:322)
+        self.shell_lock = threading.Lock()
+        self.window.shell_lock = self.shell_lock
         self._marg_points: dict = {}   # kf frame_id -> [(n,3) u,v,idepth]
         # NALO extensions: ground/scale state, per-KF masks, dense maps
         self.ground_state = GroundState()
@@ -308,10 +312,10 @@ class FullSystem:
     # ==================================================================
     # Coarse tracking (trackNewCoarse :502)
     # ==================================================================
-    def _motion_hypotheses(self):
+    def _motion_hypotheses(self, ref=None):
         """The 27-candidate ladder (:516-580)."""
         shells = self.all_shells
-        ref_shell = self.tracker_ref["shell"]
+        ref_shell = (ref or self.tracker_ref)["shell"]
         if len(shells) < 3:
             return [SE3()]
         slast = shells[-2]
@@ -369,8 +373,9 @@ class FullSystem:
         ok = out[..., 16 + L] > 0.5
         return R, t, ab, res, flow, ok
 
-    def _run_track(self, R0s, t0s, ab0s, new_dIs, batched: bool, min_level: int = 0):
-        ref = self.tracker_ref
+    def _run_track(self, R0s, t0s, ab0s, new_dIs, batched: bool, min_level: int = 0,
+                   ref=None):
+        ref = ref if ref is not None else self.tracker_ref
         exps = jnp.asarray([ref["exposure"], self._cur_exposure], jnp.float32)
         ref_aff = jnp.asarray(ref["aff"], jnp.float32)
         fn = self._get_track_fn(batched, min_level)
@@ -378,16 +383,18 @@ class FullSystem:
 
     def _track_new_coarse(self, frame):
         shell = frame["shell"]
-        ref = self.tracker_ref
+        ref = self.tracker_ref  # snapshot: the mapping thread may swap it
         self._cur_exposure = frame["exposure"]
-        tries = self._motion_hypotheses()
+        with self.shell_lock:
+            tries = self._motion_hypotheses(ref)
         aff0 = np.asarray(ref["aff_last"], np.float32)
 
         # fast path: first hypothesis only (reference always breaks at :655
         # when it beats 1.5x the previous RMSE)
         R0, t0 = tries[0].Rt32()
         packed = np.asarray(self._run_track(
-            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False,
+            ref=ref,
         ))
         R, t, ab, res, flow, ok = self._unpack_track(packed)
         best = (R.astype(np.float64), t.astype(np.float64),
@@ -403,7 +410,7 @@ class FullSystem:
             ml = min(2, self.calib.levels - 1)
             packed_b = np.asarray(self._run_track(
                 jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_), frame["dIs"],
-                True, min_level=ml,
+                True, min_level=ml, ref=ref,
             ))
             Rb, tb, abb, resb, flowb, okb = self._unpack_track(packed_b)
             okb = okb & np.isfinite(resb[:, ml])
@@ -412,7 +419,7 @@ class FullSystem:
                 bi = int(np.argmin(cand))
                 packed_w = np.asarray(self._run_track(
                     jnp.asarray(Rb[bi]), jnp.asarray(tb[bi]),
-                    jnp.asarray(abb[bi]), frame["dIs"], False,
+                    jnp.asarray(abb[bi]), frame["dIs"], False, ref=ref,
                 ))
                 Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(packed_w)
                 best = (Rw2.astype(np.float64), tw2.astype(np.float64),
@@ -430,10 +437,11 @@ class FullSystem:
             resw = np.full(self.calib.levels, np.nan)
 
         lastF_2_fh = SE3(Rw, tw)
-        shell.camToTrackingRef = lastF_2_fh.inverse()
-        shell.trackingRef = ref["shell"]
-        shell.aff_g2l = (float(abw[0]), float(abw[1]))
-        shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+        with self.shell_lock:
+            shell.camToTrackingRef = lastF_2_fh.inverse()
+            shell.trackingRef = ref["shell"]
+            shell.aff_g2l = (float(abw[0]), float(abw[1]))
+            shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
         # lastCoarseRMSE = this frame's achieved residuals (reference :668);
         # NOT a running min -- that would tighten the fast-path gate forever
@@ -483,8 +491,9 @@ class FullSystem:
     def _make_keyframe(self, frame):
         s = self.s
         shell = frame["shell"]
-        if shell.trackingRef is not None:
-            shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+        with self.shell_lock:
+            if shell.trackingRef is not None:
+                shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
         self._trace_new_coarse(frame)
         self._flag_frames_for_marginalization()
@@ -593,8 +602,9 @@ class FullSystem:
 
     def _make_non_keyframe(self, frame):
         shell = frame["shell"]
-        if shell.trackingRef is not None:
-            shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+        with self.shell_lock:
+            if shell.trackingRef is not None:
+                shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
         self._trace_new_coarse(frame)
 
     # ------------------------------------------------------------------
