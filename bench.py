@@ -55,18 +55,17 @@ def main():
         # ladder constantly, which no real sequence does)
         frames.append(img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
 
-    from nalo_slam_tpu.system import PipelinedSystem
-
+    # sequential (linearizeOperation) mode: on a single chip the mapping
+    # thread cannot overlap device compute with tracking, so async buys
+    # nothing here; the pipeline mode is covered by its own test
     sys_ = FullSystem(s, calib)
-    pipe = PipelinedSystem(sys_)  # reference's real-time mode: mapping async
     frame_times = []
     for k, img in enumerate(frames):
         t0 = time.perf_counter()
-        pipe.add_frame(img, exposure=1.0, timestamp=float(k), incoming_id=k)
+        sys_.add_frame(img, exposure=1.0, timestamp=float(k), incoming_id=k)
         frame_times.append(time.perf_counter() - t0)
         if sys_.is_lost:
             break
-    pipe.finish()
 
     # steady state: skip init/compile warmup, median is robust to the
     # remaining one-time compile spikes
