@@ -387,7 +387,11 @@ class FullSystem:
         self._cur_exposure = frame["exposure"]
         with self.shell_lock:
             tries = self._motion_hypotheses(ref)
-        aff0 = np.asarray(ref["aff_last"], np.float32)
+            # init affine from the PREVIOUS frame (reference :528 slast->aff_g2l)
+            if len(self.all_shells) >= 2:
+                aff0 = np.asarray(self.all_shells[-2].aff_g2l, np.float32)
+            else:
+                aff0 = np.asarray(ref["aff_last"], np.float32)
 
         # fast path: first hypothesis only (reference always breaks at :655
         # when it beats 1.5x the previous RMSE)
