@@ -20,7 +20,12 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/nalo_jax_cache")
+import os as _os
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/nalo_jax_cache_" + _os.environ.get("JAX_PLATFORMS", "axon").split(",")[0],
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
