@@ -430,3 +430,179 @@ def make_final_fix(settings, F: int, P: int):
         return res2, jstore2, res_bits, small, center_newest
 
     return final_fix
+
+
+# ---------------------------------------------------------------------------
+# Fused tail: eval-point reset + adjoint recompute + final relinearization
+# inside the same device program (saves one call + its pulls per keyframe).
+# ---------------------------------------------------------------------------
+
+
+def _adjoints_dev(evalR, evalt, state_zero, exposures, frame_valid):
+    """setAdjointsF on device (reference EnergyFunctional.cpp:46-106)."""
+    F = evalR.shape[0]
+    # h2t = evalPT_t * evalPT_h^-1
+    Rc = jnp.swapaxes(evalR, -1, -2)
+    tc = -jnp.einsum("fij,fj->fi", Rc, evalt, precision="highest")
+    Rl = jnp.einsum("tij,hjk->htik", evalR, Rc, precision="highest")
+    tl = jnp.einsum("tij,hj->hti", evalR, tc, precision="highest") + evalt[None, :, :]
+    adj = lie.se3_adj(Rl, tl)                       # (F, F, 6, 6)
+    a0 = state_zero[:, 6]
+    b0 = state_zero[:, 7]
+    aff_a, _ = _aff_pair_dev(
+        exposures[:, None], exposures[None, :],
+        a0[:, None], b0[:, None], a0[None, :], b0[None, :],
+    )
+    eye8 = jnp.broadcast_to(jnp.eye(8, dtype=evalR.dtype), (F, F, 8, 8))
+    AH = eye8.at[:, :, :6, :6].set(-jnp.swapaxes(adj, -1, -2))
+    AH = AH.at[:, :, 6, 6].set(aff_a)
+    AH = AH.at[:, :, 7, 7].set(aff_a)
+    AT = eye8.at[:, :, 6, 6].set(-aff_a)
+    AT = AT.at[:, :, 7, 7].set(-1.0)
+    m = frame_valid.astype(evalR.dtype)
+    pair = m[:, None, None, None] * m[None, :, None, None]
+    return AH * pair, AT * pair, Rl, tl
+
+
+def make_device_optimizer_fused(settings, F: int, P: int):
+    """optimize() + eval-point reset + linearizeAll(true) as ONE program.
+
+    Returns optimize(images, pts, res, jstore, states0, calib0, f_eth0,
+    inp, max_iters, newest) -> dict with the final states, the newest
+    frame's new evaluation point, packed pulls and the updated stores.
+    """
+    s = settings
+    base = make_device_optimizer(s, F, P)
+    ab_zero = jnp.asarray(
+        [0.0 if s.affine_opt_mode_a < 0 else 1.0,
+         0.0 if s.affine_opt_mode_b < 0 else 1.0], jnp.float32)
+
+    @jax.jit
+    def optimize(images, pts, res, jstore, states0, calib0, f_eth0, inp,
+                 max_iters, newest):
+        carry = base(images, pts, res, jstore, states0, calib0, f_eth0, inp,
+                     max_iters, newest)
+        states = carry["states"]
+        calib = carry["calib"]
+        pts2 = carry["pts"]
+        res2 = carry["res"]
+        jstore2 = carry["jstore"]
+        f_eth = carry["f_eth"]
+
+        # --- new linearization point for the newest frame (:550-562) ---
+        dR, dt = lie.se3_exp(states[:, :6])
+        Rw = jnp.einsum("fij,fjk->fik", dR, inp["evalR"], precision="highest")
+        tw = jnp.einsum("fij,fj->fi", dR, inp["evalt"], precision="highest") + dt
+        one_hot = (jnp.arange(F) == newest)[:, None, None]
+        evalR2 = jnp.where(one_hot, Rw, inp["evalR"])
+        evalt2 = jnp.where(one_hot[..., 0], tw, inp["evalt"])
+        new_zero_row = jnp.concatenate(
+            [jnp.zeros(6, states.dtype), states[newest, 6:8], jnp.zeros(2, states.dtype)]
+        )
+        state_zero2 = jnp.where(
+            (jnp.arange(F) == newest)[:, None], new_zero_row[None, :], inp["state_zero"]
+        )
+        states2 = jnp.where(
+            (jnp.arange(F) == newest)[:, None], new_zero_row[None, :], states
+        )
+
+        adH2, adT2, Rl0, tl0 = _adjoints_dev(
+            evalR2, evalt2, state_zero2, inp["exposures"], inp["frame_valid"]
+        )
+        aff0_b2 = state_zero2[:, 7]
+
+        # --- final relinearize + fixLinearization (linearizeAll(true)) ---
+        KRKi, Kt, aff = _precalc_dev(states2, evalR2, evalt2, calib,
+                                     inp["exposures"])
+        out = K.linearize_residuals(
+            images,
+            pts2["u"], pts2["v"], pts2["idepth"], pts2["idepth_zero"],
+            pts2["color"], pts2["weights"], pts2["host"], pts2["energy_th"],
+            res2["exists"], res2["state"],
+            PRE_R0=Rl0, PRE_t0=tl0,
+            PRE_KRKi=KRKi, PRE_Kt=Kt, PRE_aff=aff, PRE_b0=aff0_b2,
+            f_energy_th=f_eth,
+            calib=calib,
+            outlier_th_sum=s.outlier_th_sum_component,
+            huber_th=s.huber_th,
+            ab_zero=ab_zero,
+        )
+        act = res2["exists"] & ~res2["linearized"]
+        upd = act & (res2["state"] != RES_OOB)
+        new_state = jnp.where(upd, out["new_state"], res2["state"])
+        new_active = jnp.where(act, new_state == RES_IN, res2["active"])
+        energy = jnp.where(upd, out["energy"], res2["energy"])
+        updj = act & (new_state == RES_IN)
+        jstore3 = {}
+        for k2 in ("Jpdxi", "Jpdc", "Jpdd", "JIdx", "JabF", "resF",
+                   "JIdx2", "JabJIdx", "Jab2"):
+            extra = (1,) * (out[k2].ndim - 2)
+            jstore3[k2] = jnp.where(updj.reshape(updj.shape + extra),
+                                    out[k2], jstore2[k2])
+
+        d = (states2 - state_zero2)[:, :8]
+        dpair = (
+            jnp.einsum("hk,htkj->htj", d, adH2, precision="highest")
+            + jnp.einsum("tk,htkj->htj", d, adT2, precision="highest")
+        )
+        c_delta = calib - inp["calib_zero"]
+        p_delta = pts2["idepth"] - pts2["idepth_zero"]
+        dp = dpair[pts2["host"]]
+        Jp_dx = (
+            jnp.einsum("pfk,pfk->pf", jstore3["Jpdxi"][:, :, 0, :], dp[..., :6])
+            + jnp.einsum("pfk,k->pf", jstore3["Jpdc"][:, :, 0, :], c_delta)
+            + jstore3["Jpdd"][..., 0] * p_delta[:, None]
+        )
+        Jp_dy = (
+            jnp.einsum("pfk,pfk->pf", jstore3["Jpdxi"][:, :, 1, :], dp[..., :6])
+            + jnp.einsum("pfk,k->pf", jstore3["Jpdc"][:, :, 1, :], c_delta)
+            + jstore3["Jpdd"][..., 1] * p_delta[:, None]
+        )
+        rtz = (
+            jstore3["resF"]
+            - jstore3["JIdx"][:, :, 0, :] * Jp_dx[..., None]
+            - jstore3["JIdx"][:, :, 1, :] * Jp_dy[..., None]
+            - jstore3["JabF"][:, :, 0, :] * dp[..., 6:7]
+            - jstore3["JabF"][:, :, 1, :] * dp[..., 7:8]
+        )
+        jstore3["res_toZero"] = jnp.where(updj[..., None], rtz,
+                                          jstore2["res_toZero"])
+        new_linearized = res2["linearized"] | updj
+        bad = act & (new_state != RES_IN)
+        exists = res2["exists"] & ~bad
+        new_state = jnp.where(bad, RES_NONE, new_state)
+        new_active = new_active & ~bad
+
+        act_energy = jnp.sum(jnp.where(act, energy, 0.0))
+        nres_in = jnp.sum(act & (new_state == RES_IN))
+        center_newest = jax.lax.dynamic_index_in_dim(
+            jnp.swapaxes(out["center_proj"], 0, 1), newest, 0, keepdims=False
+        )
+        res_bits = (
+            exists.astype(jnp.uint8)
+            + (new_state.astype(jnp.uint8) << 1)
+            + (new_active.astype(jnp.uint8) << 3)
+            + (new_linearized.astype(jnp.uint8) << 4)
+        )
+        res3 = dict(res2, exists=exists, state=new_state, active=new_active,
+                    linearized=new_linearized, energy=energy)
+        # one packed small pull: [act_energy, nres_in, calib(4),
+        #                          f_eth(F), states2 flat (F*10)]
+        small = jnp.concatenate([
+            act_energy[None].astype(jnp.float32),
+            nres_in[None].astype(jnp.float32),
+            calib.astype(jnp.float32),
+            f_eth.astype(jnp.float32),
+            states2.reshape(-1).astype(jnp.float32),
+        ])
+        pts_pack = jnp.stack(
+            [pts2["idepth"], pts2["idepth_zero"], pts2["idepth_hessian"]], axis=-1
+        )
+        # newest eval point (pulled by the host to update FrameState)
+        newR = jnp.einsum("f,fij->ij", (jnp.arange(F) == newest).astype(Rw.dtype), Rw)
+        newt = jnp.einsum("f,fi->i", (jnp.arange(F) == newest).astype(tw.dtype), tw)
+        return dict(res=res3, jstore=jstore3, pts=pts2, res_bits=res_bits,
+                    small=small, pts_pack=pts_pack,
+                    center_newest=center_newest, newR=newR, newt=newt)
+
+    return optimize

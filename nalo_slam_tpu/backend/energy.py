@@ -834,7 +834,7 @@ def _wo_pack_res(self):
 
 
 def _wo_optimize_device(self, max_iters: int) -> float:
-    """optimize() with the whole GN loop in one device call."""
+    """optimize() + final relinearization as ONE device program."""
     if self.n_frames < 2:
         return 0.0
     if self.n_frames < 3:
@@ -843,8 +843,7 @@ def _wo_optimize_device(self, max_iters: int) -> float:
         max_iters = 15
 
     if not hasattr(self, "_dev_opt") or self._dev_opt is None:
-        self._dev_opt = D.make_device_optimizer(self.s, self.F, self.P)
-        self._dev_fix = D.make_final_fix(self.s, self.F, self.P)
+        self._dev_opt = D.make_device_optimizer_fused(self.s, self.F, self.P)
 
     inp = _wo_device_inputs(self)
     pts_d = _wo_pack_pts(self)
@@ -857,68 +856,49 @@ def _wo_optimize_device(self, max_iters: int) -> float:
         f_eth0[i] = f.frame_energy_th
     newest = self.n_frames - 1
 
-    carry = self._dev_opt(
+    out = self._dev_opt(
         self.images, pts_d, res_d, self.jstore,
         jnp.asarray(states0), jnp.asarray(self.calib_value, jnp.float32),
         jnp.asarray(f_eth0), inp,
         jnp.int32(max_iters), jnp.int32(newest),
     )
+    self.jstore = out["jstore"]
 
-    # pull the small state
-    states = np.asarray(carry["states"], np.float64)
-    calib = np.asarray(carry["calib"], np.float64)
-    f_eth = np.asarray(carry["f_eth"])
+    # sync with THREE pulls: packed scalars, pts pack, bitfield
+    small_np = np.asarray(out["small"], np.float64)
+    self.last_energy = float(small_np[0])
+    self.res_in_a = max(int(small_np[1]), 1)
+    self.calib_value = small_np[2:6].copy()
+    f_eth = small_np[6 : 6 + self.F]
+    states = small_np[6 + self.F :].reshape(self.F, 10)
+    # newest eval point: pulled pose, re-orthonormalized into SO(3)
+    newR = np.asarray(out["newR"], np.float64)
+    newt = np.asarray(out["newt"], np.float64)
+    U, _, Vt = np.linalg.svd(newR)
+    newR = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
     for i, f in enumerate(self.frames):
-        f.set_state(states[i])
         f.frame_energy_th = float(f_eth[i])
-    self.calib_value = calib
-    pts2 = carry["pts"]
-    res2 = carry["res"]
-    self.jstore = carry["jstore"]
-
-    # new linearization point for the newest frame + adjoint refresh
-    nf_frame = self.frames[-1]
-    new_zero = np.zeros(10)
-    new_zero[6:8] = nf_frame.state[6:8]
-    nf_frame.set_eval_pt(nf_frame.PRE_worldToCam, new_zero)
+        if i == newest:
+            zero = states[i].copy()
+            zero[:6] = 0
+            f.set_eval_pt(SE3(newR, newt), zero)
+        else:
+            f.set_state(states[i])
     self.set_adjoints()
 
-    # final relinearize + fixLinearization, one device call
-    inp2 = _wo_device_inputs(self)
-    states_f = np.zeros((self.F, 10), np.float32)
-    for i, f in enumerate(self.frames):
-        states_f[i] = f.state
-    dpair = np.zeros((self.F, self.F, 8), np.float32)
-    d8 = self.frame_deltas()
-    for h in range(self.n_frames):
-        for t in range(self.n_frames):
-            dpair[h, t] = d8[h] @ self.ad_host[h, t] + d8[t] @ self.ad_target[h, t]
-    res3, jstore3, res_bits, small, center_newest = self._dev_fix(
-        self.images, pts2, res2, self.jstore,
-        jnp.asarray(states_f), jnp.asarray(self.calib_value, jnp.float32),
-        jnp.asarray(f_eth), inp2, jnp.asarray(dpair), jnp.int32(newest),
-    )
-    self.jstore = jstore3
-
-    # sync numpy mirrors with THREE pulls: pts pack, bitfield, scalars
     p = self.pts
-    pts_pack = np.asarray(jnp.stack(
-        [pts2["idepth"], pts2["idepth_zero"], pts2["idepth_hessian"]], axis=-1
-    ))
+    pts_pack = np.asarray(out["pts_pack"])
     p.idepth = np.array(pts_pack[:, 0])
     p.idepth_zero = np.array(pts_pack[:, 1])
     p.idepth_hessian = np.array(pts_pack[:, 2])
-    bits = np.asarray(res_bits)
+    bits = np.asarray(out["res_bits"])
     p.r_exists = (bits & 1).astype(bool)
     p.r_state = ((bits >> 1) & 3).astype(np.int8)
     p.r_active = ((bits >> 3) & 1).astype(bool)
     p.r_linearized = ((bits >> 4) & 1).astype(bool)
     # r_energy and the newest-column center projections stay device-resident
-    self._r_energy_dev = res3["energy"]
-    self._center_newest_dev = center_newest
-    small_np = np.asarray(small)
-    self.res_in_a = max(int(small_np[1]), 1)
-    self.last_energy = float(small_np[0])
+    self._r_energy_dev = out["res"]["energy"]
+    self._center_newest_dev = out["center_newest"]
     rmse = float(np.sqrt(self.last_energy / (8.0 * self.res_in_a)))
 
     lock = getattr(self, "shell_lock", None)
