@@ -470,3 +470,32 @@ def make_immature_data_packed(dI, u, v):
         [color, w, gradH.reshape(gradH.shape[0], 4), ok[:, None].astype(jnp.float32)],
         axis=-1,
     )
+
+
+@partial(jax.jit, static_argnames=("h1", "w1", "iters"))
+def activation_prep(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
+                    KRKi1, Kt1, h1: int, w1: int, iters: int = 40):
+    """One call combining the per-KF host pulls of activatePointsMT: the
+    packed immature state AND the level-1 BFS distance map seeded by
+    projecting the active points into the just-inserted keyframe
+    (reference CoarseDistanceMap::makeDistanceMap,
+    CoarseTracker.cpp:1410-1446).  KRKi1/Kt1: (F,3,3)/(F,3) per-host
+    K1 * R * Ki0 transforms at CURRENT poses."""
+    packed = pack_for_host(static, trace)
+    R = KRKi1[p_host]
+    t = Kt1[p_host]
+    pt = (
+        jnp.einsum("nij,nj->ni", R,
+                   jnp.stack([p_u, p_v, jnp.ones_like(p_u)], -1),
+                   precision="highest")
+        + t * p_idepth[:, None]
+    )
+    uu = pt[:, 0] / pt[:, 2]
+    vv = pt[:, 1] / pt[:, 2]
+    ok = p_valid & (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1) & (pt[:, 2] > 0)
+    u1 = jnp.clip(uu.astype(jnp.int32), 0, w1 - 1)
+    v1 = jnp.clip(vv.astype(jnp.int32), 0, h1 - 1)
+    d = jnp.full((h1, w1), 1e4, jnp.float32)
+    d = d.at[v1, u1].min(jnp.where(ok, 0.0, 1e4))
+    d = _grow_dist(d, iters)
+    return packed, d

@@ -690,10 +690,26 @@ class FullSystem:
         newest = nf - 1
         c = self.calib
 
-        # one packed pull of the device-resident trace state, then sync the
-        # numpy stores the host logic below reads
+        # one device call + two pulls: packed trace state AND the level-1
+        # distance map from projecting active points into the new keyframe
         M = self.s.max_immature_per_frame
-        packed = np.asarray(imm.pack_for_host(self.imm_static, self.imm_trace))
+        Fd = w.F
+        KRKi1 = np.zeros((Fd, 3, 3), np.float32)
+        Kt1f = np.zeros((Fd, 3), np.float32)
+        new_fs0 = w.frames[newest]
+        for hh in range(nf):
+            h2n = new_fs0.PRE_worldToCam * w.frames[hh].PRE_camToWorld
+            KRKi1[hh] = self.calib.K[1] @ h2n.R @ self.calib.Ki[0]
+            Kt1f[hh] = self.calib.K[1] @ h2n.t
+        m_in = p.active & (p.host != newest)
+        packed_dev, dmap_dev = imm.activation_prep(
+            self.imm_static, self.imm_trace,
+            jnp.asarray(p.u), jnp.asarray(p.v), jnp.asarray(p.idepth),
+            jnp.asarray(p.host), jnp.asarray(m_in),
+            jnp.asarray(KRKi1), jnp.asarray(Kt1f),
+            self.calib.h[1], self.calib.w[1],
+        )
+        packed = np.asarray(packed_dev)
         for h in range(nf):
             st = self.immatures[h]
             sl = packed[h * M : (h + 1) * M]
@@ -706,9 +722,9 @@ class FullSystem:
         K1 = c.K[1]
         Ki0 = c.Ki[0]
 
-        # project existing active points into newest (level 1)
+        # candidates per host frame (the distance map came from
+        # activation_prep above)
         new_fs = w.frames[newest]
-        pu_l, pv_l, pvalid = [], [], []
         cand_data = []
         for h in range(nf):
             host = w.frames[h]
@@ -717,14 +733,6 @@ class FullSystem:
             h2n = new_fs.PRE_worldToCam * host.PRE_camToWorld
             KRKi1 = K1 @ h2n.R @ Ki0
             Kt1 = K1 @ h2n.t
-            msk = p.active & (p.host == h)
-            if msk.any():
-                pts3 = (KRKi1 @ np.stack([p.u[msk], p.v[msk], np.ones(msk.sum())])).T \
-                    + Kt1[None, :] * p.idepth[msk][:, None]
-                uu = pts3[:, 0] / pts3[:, 2]
-                vv = pts3[:, 1] / pts3[:, 2]
-                ok = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-                pu_l.append(uu[ok]); pv_l.append(vv[ok])
             # candidate immature points of this host
             st = self.immatures[h]
             iv = st.valid
@@ -756,13 +764,10 @@ class FullSystem:
             self._push_imm_valid()
             return
 
-        pu = np.concatenate(pu_l) if pu_l else np.zeros(0)
-        pv = np.concatenate(pv_l) if pv_l else np.zeros(0)
-        dmap = np.asarray(imm.distance_map(pu, pv, np.ones(len(pu), bool), h1, w1))
+        dmap = np.asarray(dmap_dev)
 
         # greedy spacing: existing-point distance + candidate-candidate thinning
         accepted = []
-        occ_u, occ_v = list(pu), list(pv)
         occ = np.full((h1, w1), 1e4, np.float32)
         for h, j, ui, vi in cand_data:
             st = self.immatures[h]
