@@ -160,6 +160,12 @@ class Settings:
     max_pix_search: float = 0.027      # fraction of (w+h)
     max_idepth: float = 50.0
 
+    # --- benchmark noise injection (settings.cpp:183-186,
+    #     Undistort.cpp:452-484) ---
+    benchmark_var_noise: float = 0.0       # px-shift noise amplitude
+    benchmark_noise_grid_size: int = 3
+    benchmark_var_blur_noise: float = 0.0  # unused placeholder like reference
+
     # --- playback / misc ---
     debugout_runquiet: bool = True
     log_stuff: bool = False

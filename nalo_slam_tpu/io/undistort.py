@@ -193,6 +193,30 @@ class Undistorter:
         self.remap_y = ry
         self._bad = bad
 
+    def set_benchmark_noise(self, var_noise: float, grid: int = 3, seed: int = 0):
+        """Synthetic geometric-noise injection for robustness benchmarks
+        (reference Undistort.cpp:452-484): perturb the remap table with a
+        smooth random per-grid-cell pixel shift."""
+        if var_noise <= 0:
+            return
+        rng = np.random.default_rng(seed)
+        gx = rng.uniform(-var_noise, var_noise, (grid + 2, grid + 2))
+        gy = rng.uniform(-var_noise, var_noise, (grid + 2, grid + 2))
+        yy, xx = np.meshgrid(
+            np.linspace(0, grid, self.h), np.linspace(0, grid, self.w),
+            indexing="ij",
+        )
+        def interp(g):
+            x0 = xx.astype(int); y0 = yy.astype(int)
+            dx = xx - x0; dy = yy - y0
+            return (g[y0, x0] * (1-dx)*(1-dy) + g[y0, x0+1] * dx*(1-dy)
+                    + g[y0+1, x0] * (1-dx)*dy + g[y0+1, x0+1] * dx*dy)
+        ok = ~self._bad
+        self.remap_x = np.where(ok, self.remap_x + interp(gx).astype(np.float32), self.remap_x)
+        self.remap_y = np.where(ok, self.remap_y + interp(gy).astype(np.float32), self.remap_y)
+        np.clip(self.remap_x, -1, self.w_org - 1.001, out=self.remap_x)
+        np.clip(self.remap_y, -1, self.h_org - 1.001, out=self.remap_y)
+
     def undistort_image(self, img: np.ndarray) -> np.ndarray:
         """Bilinear resample through the remap table; invalid pixels -> 0."""
         if self.passthrough:

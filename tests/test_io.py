@@ -96,3 +96,17 @@ class TestResults:
         write_tum_trajectory(path, [(0.0, 1, 2, 3, 0, 0, 0, 1)])
         line = open(path).read().split()
         assert len(line) == 8
+
+
+def test_benchmark_noise_injection(tmp_path):
+    from nalo_slam_tpu.io.undistort import Undistorter
+
+    calib = tmp_path / "camera.txt"
+    calib.write_text("FOV 300 300 320 240 0.5\n640 480\ncrop\n640 480\n")
+    u = Undistorter.from_file(str(calib))
+    rx0 = u.remap_x.copy()
+    u.set_benchmark_noise(2.0)
+    ok = ~u._bad
+    delta = np.abs(u.remap_x[ok] - rx0[ok])
+    assert delta.max() <= 2.0 + 1e-5
+    assert delta.mean() > 0.1  # actually perturbed
