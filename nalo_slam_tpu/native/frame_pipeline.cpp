@@ -63,7 +63,12 @@ struct Pipeline {
         jobs.pop_front();
       }
       job();
-      if (--inflight == 0) cv_done.notify_all();
+      {
+        // decrement-and-notify under mu: otherwise wait_all() can test its
+        // predicate, miss the notify fired before it blocks, and hang
+        std::lock_guard<std::mutex> lk(mu);
+        if (--inflight == 0) cv_done.notify_all();
+      }
     }
   }
 

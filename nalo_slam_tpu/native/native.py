@@ -9,6 +9,7 @@ on the toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,9 +19,15 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "frame_pipeline.cpp")
 _SO = os.path.join(_DIR, "libframe_pipeline.so")
+_HASH = _SO + ".srchash"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _load():
@@ -28,13 +35,25 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # staleness gate on source-content hash, not mtimes: the binary is
+        # never committed, and fresh checkouts get arbitrary mtimes
+        want = _src_hash()
+        have = None
+        if os.path.exists(_SO) and os.path.exists(_HASH):
+            try:
+                with open(_HASH) as f:
+                    have = f.read().strip()
+            except OSError:
+                have = None
+        if have != want:
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                      "-o", _SO, _SRC, "-lpthread"],
                     check=True, capture_output=True, timeout=120,
                 )
+                with open(_HASH, "w") as f:
+                    f.write(want)
             except Exception:
                 _build_failed = True
                 return None
