@@ -601,8 +601,15 @@ def make_device_optimizer_fused(settings, F: int, P: int):
         # newest eval point (pulled by the host to update FrameState)
         newR = jnp.einsum("f,fij->ij", (jnp.arange(F) == newest).astype(Rw.dtype), Rw)
         newt = jnp.einsum("f,fi->i", (jnp.arange(F) == newest).astype(tw.dtype), tw)
+        # EVERYTHING the host needs, as ONE flat pull (each separate
+        # device->host transfer costs a ~30 ms tunnel round trip):
+        # [small | newR(9) | newt(3) | pts_pack(P*3) | res_bits(P*F)]
+        flat = jnp.concatenate([
+            small, newR.reshape(-1), newt,
+            pts_pack.reshape(-1), res_bits.reshape(-1).astype(jnp.float32),
+        ])
         return dict(res=res3, jstore=jstore3, pts=pts2, res_bits=res_bits,
-                    small=small, pts_pack=pts_pack,
+                    small=small, pts_pack=pts_pack, flat=flat,
                     center_newest=center_newest, newR=newR, newt=newt)
 
     return optimize

@@ -105,6 +105,11 @@ class WindowOptimizer:
         self.res_in_a = 1
         self.last_energy = 0.0
         self.last_nullspaces = []
+        # marginalized-residual counts per (host_kf_id, target_kf_id) --
+        # the persistent half of the reference's connectivityMap
+        # (EnergyFunctional.cpp:423,453-458); the active half is recomputed
+        # from the residual grid in connectivity()
+        self.conn_marg: dict[tuple[int, int], int] = {}
 
     # ------------------------------------------------------------------
     def _empty_jstore(self):
@@ -647,6 +652,25 @@ class WindowOptimizer:
     # ------------------------------------------------------------------
     # Marginalization
     # ------------------------------------------------------------------
+    def connectivity(self) -> dict:
+        """(host_kf_id, target_kf_id) -> [n_active_res, n_marg_res]
+        (reference connectivityMap, published via publishGraph)."""
+        p = self.pts
+        nf = self.n_frames
+        counts = np.zeros((self.F, self.F), np.int64)
+        sel = p.active
+        np.add.at(counts, p.host[sel], p.r_exists[sel].astype(np.int64))
+        out = {}
+        for h in range(nf):
+            hid = self.frames[h].frame_id
+            for t in range(nf):
+                if counts[h, t]:
+                    out[(hid, self.frames[t].frame_id)] = [int(counts[h, t]), 0]
+        for key, nm in self.conn_marg.items():
+            ent = out.setdefault(key, [0, 0])
+            ent[1] += nm
+        return out
+
     def marginalize_points(self, marg_mask: np.ndarray):
         """marginalizePointsF (:615-676): fold flagged points into HM/bM."""
         p = self.pts
@@ -655,6 +679,13 @@ class WindowOptimizer:
         if not sel.any():
             self.pts.remove(np.nonzero(marg_mask)[0])
             return
+        # connectivity bookkeeping: these residuals become marginalized
+        nf = self.n_frames
+        cm = np.zeros((nf, nf), np.int64)
+        np.add.at(cm, p.host[sel], p.r_exists[sel][:, :nf].astype(np.int64))
+        for h, t in zip(*np.nonzero(cm)):
+            key = (self.frames[int(h)].frame_id, self.frames[int(t)].frame_id)
+            self.conn_marg[key] = self.conn_marg.get(key, 0) + int(cm[h, t])
         p.prior = np.where(sel, p.prior * s.idepth_fix_prior_marg_fac, p.prior)
         accM, nresM, HddM, bdM, HcdM, maskM = self._accumulate(2, subset=sel)
         M, Mb = self._stitch_top(accM, use_prior=False)
@@ -864,16 +895,24 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     )
     self.jstore = out["jstore"]
 
-    # sync with THREE pulls: packed scalars, pts pack, bitfield
-    small_np = np.asarray(out["small"], np.float64)
+    # sync with ONE flat pull (every extra D2H pull costs a ~30 ms tunnel
+    # round trip): [small | newR | newt | pts_pack | res_bits]
+    F, P = self.F, self.P
+    n_small = 6 + F + 10 * F
+    flat = np.asarray(out["flat"], np.float64)
+    small_np = flat[:n_small]
+    o = n_small
+    newR = flat[o:o + 9].reshape(3, 3); o += 9
+    newt = flat[o:o + 3]; o += 3
+    pts_pack = flat[o:o + P * 3].reshape(P, 3); o += P * 3
+    bits = flat[o:o + P * F].reshape(P, F).astype(np.int32)
+
     self.last_energy = float(small_np[0])
     self.res_in_a = max(int(small_np[1]), 1)
     self.calib_value = small_np[2:6].copy()
     f_eth = small_np[6 : 6 + self.F]
     states = small_np[6 + self.F :].reshape(self.F, 10)
     # newest eval point: pulled pose, re-orthonormalized into SO(3)
-    newR = np.asarray(out["newR"], np.float64)
-    newt = np.asarray(out["newt"], np.float64)
     U, _, Vt = np.linalg.svd(newR)
     newR = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
     for i, f in enumerate(self.frames):
@@ -887,11 +926,9 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     self.set_adjoints()
 
     p = self.pts
-    pts_pack = np.asarray(out["pts_pack"])
-    p.idepth = np.array(pts_pack[:, 0])
-    p.idepth_zero = np.array(pts_pack[:, 1])
-    p.idepth_hessian = np.array(pts_pack[:, 2])
-    bits = np.asarray(out["res_bits"])
+    p.idepth = pts_pack[:, 0].astype(np.float32)
+    p.idepth_zero = pts_pack[:, 1].astype(np.float32)
+    p.idepth_hessian = pts_pack[:, 2].astype(np.float32)
     p.r_exists = (bits & 1).astype(bool)
     p.r_state = ((bits >> 1) & 3).astype(np.int8)
     p.r_active = ((bits >> 3) & 1).astype(bool)

@@ -472,6 +472,78 @@ def make_immature_data_packed(dI, u, v):
     )
 
 
+@partial(jax.jit, static_argnames=("F", "M", "C", "h1", "w1", "iters"))
+def activation_prep2(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
+                     KRKi1, Kt1, flagged, newest, min_trace_quality,
+                     F: int, M: int, C: int, h1: int, w1: int,
+                     iters: int = 40):
+    """Fused activatePointsMT prep (reference FullSystem.cpp:764-934):
+    candidate gating, dead/OOB deletion, level-1 projection AND the BFS
+    distance map, compacted into ONE flat pull:
+
+      [n_cand | valid(F*M) | dmap(h1*w1) | slot(C) | uu(C) | vv(C) | id0(C)]
+
+    The returned valid already reflects dead/OOB deletion and the
+    flagged-host filter; the host adopts it wholesale."""
+    slot_host = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
+    upd = (slot_host != newest) & (slot_host < F)
+    iv = static["valid"]
+    idmin, idmax = trace["idepth_min"], trace["idepth_max"]
+    status = trace["status"]
+    dead = iv & (~jnp.isfinite(idmax) | (status == IPS_OUTLIER))
+    v2 = jnp.where(upd, iv & ~dead, iv)
+    st_ok = ((status == IPS_GOOD) | (status == IPS_SKIPPED)
+             | (status == IPS_BADCONDITION) | (status == IPS_OOB))
+    can = (v2 & st_ok & (trace["interval"] < 8)
+           & (trace["quality"] > min_trace_quality) & ((idmax + idmin) > 0))
+    v3 = jnp.where(upd & flagged[slot_host], v2 & can, v2)
+    cand0 = can & upd
+    idc = 0.5 * (idmax + idmin)
+    R = KRKi1[slot_host]
+    t = Kt1[slot_host]
+    pt = (
+        jnp.einsum("nij,nj->ni", R,
+                   jnp.stack([static["u"], static["v"],
+                              jnp.ones_like(static["u"])], -1),
+                   precision="highest")
+        + t * idc[:, None]
+    )
+    uu = pt[:, 0] / pt[:, 2]
+    vv = pt[:, 1] / pt[:, 2]
+    inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+    v4 = v3 & ~(cand0 & ~inb)
+    cand = cand0 & inb
+
+    # distance map from the window's active points (as activation_prep)
+    Rp = KRKi1[p_host]
+    tp = Kt1[p_host]
+    ptp = (
+        jnp.einsum("nij,nj->ni", Rp,
+                   jnp.stack([p_u, p_v, jnp.ones_like(p_u)], -1),
+                   precision="highest")
+        + tp * p_idepth[:, None]
+    )
+    puu = ptp[:, 0] / ptp[:, 2]
+    pvv = ptp[:, 1] / ptp[:, 2]
+    pok = p_valid & (puu > 0) & (pvv > 0) & (puu < w1) & (pvv < h1) & (ptp[:, 2] > 0)
+    u1 = jnp.clip(puu.astype(jnp.int32), 0, w1 - 1)
+    v1 = jnp.clip(pvv.astype(jnp.int32), 0, h1 - 1)
+    d = jnp.full((h1, w1), 1e4, jnp.float32)
+    d = d.at[v1, u1].min(jnp.where(pok, 0.0, 1e4))
+    d = _grow_dist(d, iters)
+
+    # stable compaction in slot order (the reference's host/index iteration
+    # order, which the greedy spacing depends on)
+    order = jnp.argsort(~cand, stable=True)[:C]
+    cslot = jnp.where(cand[order], order.astype(jnp.float32), -1.0)
+    n_cand = jnp.sum(cand).astype(jnp.float32)
+    flat = jnp.concatenate([
+        n_cand[None], v4.astype(jnp.float32), d.reshape(-1),
+        cslot, uu[order], vv[order], idc[order],
+    ])
+    return flat
+
+
 @partial(jax.jit, static_argnames=("h1", "w1", "iters"))
 def activation_prep(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
                     KRKi1, Kt1, h1: int, w1: int, iters: int = 40):

@@ -83,3 +83,69 @@ class TrajectoryWriter(Output3DWrapper):
 
     def write(self, full_system):
         write_tum_trajectory(self.path, full_system.trajectory())
+
+
+class GraphWriter(Output3DWrapper):
+    """Persists the constraint graph published per keyframe (reference
+    publishGraph, Output3DWrapper.h:113-140: host-target connectivity with
+    active/marginalized residual counts from EnergyFunctional.cpp:423-458)."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self.connectivity: dict = {}
+
+    def publish_graph(self, connectivity):
+        self.connectivity = dict(connectivity)
+
+    def join(self):
+        if self.path:
+            with open(self.path, "w") as f:
+                for (h, t), (na, nm) in sorted(self.connectivity.items()):
+                    f.write(f"{h} {t} {na} {nm}\n")
+
+
+class RenderWrapper(Output3DWrapper):
+    """Offline render sink: the reference viewer's video / depth-image
+    panes (PangolinDSOViewer.h:97-101, pushLiveFrame/pushDepthImage
+    Output3DWrapper.h:160-199) become PNG dumps under a directory, plus a
+    top-down trajectory plot at join()."""
+
+    wants_depth_image = True
+    wants_live_frame = True
+
+    def __init__(self, out_dir: str, every: int = 1):
+        import os
+
+        self.dir = out_dir
+        self.every = max(int(every), 1)
+        os.makedirs(out_dir, exist_ok=True)
+        self._n_live = 0
+        self._n_depth = 0
+        self._poses: list[np.ndarray] = []
+
+    def publish_cam_pose(self, shell, calib):
+        self._poses.append(np.asarray(shell.camToWorld.t))
+
+    def push_live_frame(self, frame):
+        from ..utils.viz import save_png
+
+        if self._n_live % self.every == 0:
+            img = np.clip(np.asarray(frame), 0, 255).astype(np.uint8)
+            save_png(f"{self.dir}/live_{self._n_live:06d}.png", img)
+        self._n_live += 1
+
+    def push_depth_image(self, image):
+        """image: dict(idepth, valid, background) of the newest keyframe."""
+        from ..utils.viz import render_idepth_map, save_png
+
+        img = render_idepth_map(image["idepth"], image.get("valid"),
+                                image.get("background"))
+        save_png(f"{self.dir}/depth_{self._n_depth:06d}.png", img)
+        self._n_depth += 1
+
+    def join(self):
+        from ..utils.viz import render_trajectory_topdown, save_png
+
+        if self._poses:
+            save_png(f"{self.dir}/trajectory.png",
+                     render_trajectory_topdown(np.stack(self._poses)))

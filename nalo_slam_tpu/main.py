@@ -9,7 +9,9 @@ Usage:
   python -m nalo_slam_tpu.main files=<images> calib=<camera.txt> \
       [gamma=pcalib.txt] [vignette=vignette.png] [masks=<dir>] \
       [colors=<dir>] [preset=0] [mode=0] [dense=0] [planeOpt=0] \
-      [start=0] [end=100000] [speed=0] [output=result.txt]
+      [start=0] [end=100000] [speed=0] [output=result.txt] \
+      [log=metrics.jsonl] [pipelined=1] [render=renders/] \
+      [checkpoint=state.npz] [checkpoint_every=0] [resume=state.npz]
 """
 
 from __future__ import annotations
@@ -24,16 +26,18 @@ from .geometry import PyramidCalib
 from .io.dataset import ImageFolderReader
 from .io.wrappers import SampleOutputWrapper, TrajectoryWriter
 from .system import FullSystem
+from .utils.metrics import MetricsLogger
 
 
-def build_system(settings: Settings, reader: ImageFolderReader) -> FullSystem:
+def build_system(settings: Settings, reader: ImageFolderReader,
+                 metrics: MetricsLogger | None = None) -> FullSystem:
     K = reader.undistorter.K
     calib = PyramidCalib.make(
         reader.undistorter.w, reader.undistorter.h,
         K[0, 0], K[1, 1], K[0, 2], K[1, 2],
     )
     gamma_grad = reader.photo.gamma.B_grad if settings.gamma_weights_pixel_select else None
-    return FullSystem(settings, calib, gamma_b_grad=gamma_grad)
+    return FullSystem(settings, calib, gamma_b_grad=gamma_grad, metrics=metrics)
 
 
 def run(argv: list[str]) -> int:
@@ -51,47 +55,92 @@ def run(argv: list[str]) -> int:
     end = min(int(extras.get("end", 1 << 30)), len(reader))
     speed = float(extras.get("speed", 0))  # 0 = as fast as possible
 
-    sys_ = build_system(settings, reader)
+    metrics = MetricsLogger(extras.get("log"))
+    sys_ = build_system(settings, reader, metrics)
     pcd_out = SampleOutputWrapper(extras.get("pcd", "pcl_data_tmp.pcd"))
     sys_.output_wrappers.append(pcd_out)
+    if extras.get("render"):
+        from .io.wrappers import RenderWrapper
+        sys_.output_wrappers.append(RenderWrapper(extras["render"]))
+
+    if extras.get("resume"):
+        from .system.checkpoint import load_checkpoint
+        load_checkpoint(extras["resume"], sys_)
+        print(f"resumed from {extras['resume']} "
+              f"(frame {len(sys_.all_shells)}, {sys_.window.n_frames} KFs)")
+    ckpt_path = extras.get("checkpoint")
+    ckpt_every = int(extras.get("checkpoint_every", 0))
+
+    runner = sys_
+    pipelined = extras.get("pipelined", "0") not in ("0", "", "false")
+    if pipelined:
+        from .system.pipeline import PipelinedSystem
+        runner = PipelinedSystem(sys_)
 
     t_start = time.time()
-    n_done = 0
+    n_done = n_skipped = 0
     i = start
     while i < end:
-        frame = reader.get_image(i)
+        # real-time pacing (reference main_dso_pangolin.cpp:517-624): sleep
+        # when ahead of schedule, DROP the frame when behind by more than
+        # one frame interval (sSinceStart > timestamp -> skipFrame)
         if speed > 0 and i > start:
-            target = t_start + (reader.get_timestamp(i) - reader.get_timestamp(start)) / speed
-            delay = target - time.time()
-            if delay > 0:
-                time.sleep(delay)
-        sys_.add_frame(
+            rel_ts = (reader.get_timestamp(i) - reader.get_timestamp(start)) / speed
+            since = time.time() - t_start
+            if since < rel_ts:
+                time.sleep(rel_ts - since)
+            elif since > rel_ts + 0.5 / speed and sys_.initialized:
+                n_skipped += 1
+                i += 1
+                continue
+        frame = reader.get_image(i)
+        runner.add_frame(
             frame["image"], exposure=frame["exposure"],
             timestamp=frame["timestamp"], incoming_id=i,
             mask=frame["mask"], bgr=frame["bgr"],
         )
         n_done += 1
+        if ckpt_path and ckpt_every and n_done % ckpt_every == 0:
+            from .system.checkpoint import save_checkpoint
+            if pipelined:
+                runner.finish()
+                runner = PipelinedSystem(sys_)
+            save_checkpoint(ckpt_path, sys_)
         if sys_.init_failed and i - start < 250:
             # full reset preserving output wrappers (reference :596-616)
             print("RESETTING (init failed)")
-            sys_ = build_system(settings, reader)
-            sys_.output_wrappers.append(pcd_out)
+            if pipelined:
+                runner.finish()
+            wrappers = sys_.output_wrappers
+            sys_ = build_system(settings, reader, metrics)
+            sys_.output_wrappers = wrappers
+            runner = PipelinedSystem(sys_) if pipelined else sys_
         if sys_.is_lost:
             print("LOST!")
             break
         i += 1
+    if pipelined:
+        runner.finish()
 
     wall = time.time() - t_start
     print(
         f"processed {n_done} frames in {wall:.2f}s "
         f"({n_done / max(wall, 1e-9):.2f} fps, "
-        f"{1000 * wall / max(n_done, 1):.1f} ms/frame)"
+        f"{1000 * wall / max(n_done, 1):.1f} ms/frame"
+        + (f", {n_skipped} skipped" if n_skipped else "") + ")"
     )
+    if ckpt_path:
+        from .system.checkpoint import save_checkpoint
+        save_checkpoint(ckpt_path, sys_)
+    summ = metrics.summary()
+    if summ:
+        print("metrics:", summ)
     TrajectoryWriter(extras.get("output", "result.txt")).write(sys_)
     # flush keyframes still in the window so short runs export a cloud too
     for fs in sys_.window.frames:
         pcd_out.publish_keyframes([fs], True, sys_.window, sys_.calib)
     pcd_out.join()
+    metrics.close()
     return 0
 
 

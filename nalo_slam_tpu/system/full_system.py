@@ -22,10 +22,13 @@ track||map thread pipeline is layered on top in system/pipeline.py.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import Settings
+from ..config import PATTERN, Settings
 from ..geometry import SE3, PyramidCalib
 from ..ops import build_pyramid
 from ..backend.energy import WindowOptimizer
@@ -35,11 +38,41 @@ from ..frontend.pixel_selector import PixelSelector
 from ..frontend.tracker import make_track_fn, make_coarse_depth_maps, aff_from_to
 from ..frontend import immature as imm
 from ..nalo.dense_frontend import GroundState, dense_frontend_update
+from ..utils.metrics import MetricsLogger
 from ..nalo.plane_opt import GlobalPlane, plane_optimize, sw_gray_optimize
 from ..nalo import dense_map as dmap
 
 import jax
 import threading
+
+
+def _host_immature_data(dI0: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Numpy twin of immature.make_immature_data, fed from the host
+    selector pyramid: pattern colors, gradient weights, gradH, ok.  Keeps
+    new-trace creation free of device pulls (the device store gets the
+    same values via one async upload)."""
+    pat = np.asarray(PATTERN, np.float32)
+    up = u[:, None] + pat[None, :, 0]
+    vp = v[:, None] + pat[None, :, 1]
+    H, W, _ = dI0.shape
+    x0 = np.floor(up).astype(np.int64)
+    y0 = np.floor(vp).astype(np.int64)
+    dx = (up - x0).astype(np.float32)
+    dy = (vp - y0).astype(np.float32)
+    x0c = np.clip(x0, 0, W - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    y0c = np.clip(y0, 0, H - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    samp = (dI0[y0c, x0c] * ((1 - dx) * (1 - dy))[..., None]
+            + dI0[y0c, x1] * (dx * (1 - dy))[..., None]
+            + dI0[y1, x0c] * ((1 - dx) * dy)[..., None]
+            + dI0[y1, x1] * (dx * dy)[..., None])
+    color = samp[..., 0]
+    g = samp[..., 1:]
+    gradH = np.einsum("nki,nkj->nij", g, g)
+    w = np.sqrt(2500.0 / (2500.0 + np.sum(g * g, axis=-1))).astype(np.float32)
+    ok = np.all(np.isfinite(color), axis=-1)
+    return color.astype(np.float32), w, gradH.astype(np.float32), ok
 
 
 def _host_selector_pyramid(img: np.ndarray, b_grad: np.ndarray | None):
@@ -102,9 +135,15 @@ class ImmatureStore:
 
 
 class FullSystem:
-    def __init__(self, settings: Settings, calib: PyramidCalib, gamma_b_grad=None):
+    def __init__(self, settings: Settings, calib: PyramidCalib, gamma_b_grad=None,
+                 metrics: MetricsLogger | None = None):
         self.s = settings
         self.calib = calib
+        # observability (reference printLogLine + log streams,
+        # FullSystem.cpp:76-121,1707-1751): per-KF structured record with a
+        # stage-ms breakdown, per-frame track/map timing
+        self.metrics = metrics if metrics is not None else MetricsLogger()
+        self._stage_ms: dict = {}
         self.gamma_b_grad = (
             jnp.asarray(gamma_b_grad, jnp.float32) if gamma_b_grad is not None else None
         )
@@ -197,12 +236,16 @@ class FullSystem:
                 shell.poseValid = False
             return
 
+        t0 = time.perf_counter()
         need_kf = self.track_only(frame)
+        self.metrics.frame(1000.0 * (time.perf_counter() - t0), bool(need_kf))
         if need_kf is None:
             return
         for ow in self.output_wrappers:
             try:
                 ow.publish_cam_pose(shell, self.calib)
+                if getattr(ow, "wants_live_frame", False):
+                    ow.push_live_frame(frame["image"])
             except Exception:
                 pass
         self.map_frame(frame, need_kf)
@@ -241,6 +284,15 @@ class FullSystem:
         shell = frame["shell"]
         if shell.trackingRef is not None:
             shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
+
+    @contextmanager
+    def _stage(self, name: str):
+        """Accumulate host-blocking wall time per keyframe stage."""
+        t0 = time.perf_counter()
+        yield
+        self._stage_ms[name] = (
+            self._stage_ms.get(name, 0.0) + 1000.0 * (time.perf_counter() - t0)
+        )
 
     @staticmethod
     def _aff_pair(exp_f, exp_t, aff_f, aff_t):
@@ -495,11 +547,14 @@ class FullSystem:
     def _make_keyframe(self, frame):
         s = self.s
         shell = frame["shell"]
+        self._stage_ms = {}
+        t_kf0 = time.perf_counter()
         with self.shell_lock:
             if shell.trackingRef is not None:
                 shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
-        self._trace_new_coarse(frame)
+        with self._stage("trace"):
+            self._trace_new_coarse(frame)
         self._flag_frames_for_marginalization()
 
         fs = FrameState(len(self.all_kf_shells), shell, frame["exposure"], s)
@@ -507,7 +562,8 @@ class FullSystem:
         fs.haveground = False
         fs.groundP = np.zeros(4)
         self.all_kf_shells.append(shell)
-        new_idx = self.window.insert_frame(fs, frame["dIs"][0])
+        with self._stage("insert"):
+            new_idx = self.window.insert_frame(fs, frame["dIs"][0])
         self.immatures.append(ImmatureStore(s.max_immature_per_frame))
         self.frame_pyramids[id(fs)] = (frame["dIs"], frame["absgrads"])
         self.kf_masks.append(frame.get("mask"))
@@ -521,11 +577,13 @@ class FullSystem:
         if len(existing):
             self.window.add_residuals(existing, new_idx)
 
-        self._activate_points()
+        with self._stage("activate"):
+            self._activate_points()
 
         fs.frame_energy_th = self.window.frames[-2].frame_energy_th if self.window.n_frames > 1 else fs.frame_energy_th
-        rmse = (self.window.optimize_device(s.max_opt_iterations)
-                if s.use_device_opt else self.window.optimize(s.max_opt_iterations))
+        with self._stage("optimize"):
+            rmse = (self.window.optimize_device(s.max_opt_iterations)
+                    if s.use_device_opt else self.window.optimize(s.max_opt_iterations))
 
         # init-failure checks (:1370-1387)
         nkf = len(self.all_kf_shells)
@@ -541,40 +599,45 @@ class FullSystem:
             return rmse
 
         self._remove_outliers()
-        self._set_tracker_ref(frame)
+        with self._stage("tracker_ref"):
+            self._set_tracker_ref(frame)
 
         # --- PLANE/SCALE pipeline (reference FullSystem.cpp:1420-1443) ---
         fs_n = self.window.frames[-1]
         if (getattr(fs_n, "haveground", False) and s.plane_optimize
                 and fs_n.groundP[3] != 0):
-            if not self.global_plane.fixed:
-                gps = [getattr(f, "groundP", np.zeros(4)) for f in self.window.frames]
-                self.global_plane.set_global_plane(self.window.frames, gps, s.max_frames)
-            if self.ground_state.scale_fix and self.global_plane.fixed:
-                plane_optimize(self.window, self.global_plane.lgh, fs_n.groundP)
-                sw_gray_optimize(self.window, iters=3)
+            with self._stage("plane"):
+                if not self.global_plane.fixed:
+                    gps = [getattr(f, "groundP", np.zeros(4)) for f in self.window.frames]
+                    self.global_plane.set_global_plane(self.window.frames, gps, s.max_frames)
+                if self.ground_state.scale_fix and self.global_plane.fixed:
+                    plane_optimize(self.window, self.global_plane.lgh, fs_n.groundP)
+                    sw_gray_optimize(self.window, iters=3)
 
-        self._flag_points_for_removal()
-        self.window.nullspaces()
-        # archive marginalized points per host KF so they can be published
-        # with the final pose when the frame leaves the window (the
-        # reference's pointHessiansMarginalized -> SampleOutputWrapper path)
-        marg_sel = (p.status == 1) & p.active
-        if marg_sel.any():
-            for hh in np.unique(p.host[marg_sel]):
-                mm = marg_sel & (p.host == hh)
-                fid = self.window.frames[int(hh)].frame_id
-                arch = self._marg_points.setdefault(fid, [])
-                arch.append(np.stack([p.u[mm], p.v[mm], p.idepth[mm]], 1))
-        self.window.marginalize_points(p.status == 1)
-        p.status[:] = 0
-        self._make_new_traces(frame, new_idx)
+        with self._stage("marg_points"):
+            self._flag_points_for_removal()
+            self.window.nullspaces()
+            # archive marginalized points per host KF so they can be published
+            # with the final pose when the frame leaves the window (the
+            # reference's pointHessiansMarginalized -> SampleOutputWrapper path)
+            marg_sel = (p.status == 1) & p.active
+            if marg_sel.any():
+                for hh in np.unique(p.host[marg_sel]):
+                    mm = marg_sel & (p.host == hh)
+                    fid = self.window.frames[int(hh)].frame_id
+                    arch = self._marg_points.setdefault(fid, [])
+                    arch.append(np.stack([p.u[mm], p.v[mm], p.idepth[mm]], 1))
+            self.window.marginalize_points(p.status == 1)
+            p.status[:] = 0
+        with self._stage("new_traces"):
+            self._make_new_traces(frame, new_idx)
 
         # --- dense surfel mapping on the 3rd-newest KF (:1488-1496) ---
         if (self.global_plane.fixed and s.dense_mapping
                 and self.window.n_frames >= 3):
             didx = self.window.n_frames - 3
             if self.kf_masks[didx] is not None:
+                self.sync_immature_host()
                 pm = self.window.pts
                 msk = pm.active & (pm.host == didx)
                 st = self.immatures[didx]
@@ -594,14 +657,35 @@ class FullSystem:
                 if cloud is not None:
                     self.dense_maps[self.window.frames[didx].frame_id] = cloud
 
+        # publish graph + current window (reference :1498-1502)
+        if self.output_wrappers:
+            conn = self.window.connectivity()
+            for ow in self.output_wrappers:
+                try:
+                    ow.publish_graph(conn)
+                    ow.publish_keyframes(self.window.frames, False,
+                                         self.window, self.calib)
+                except Exception:
+                    pass
+
         # marginalize flagged frames (:1506-1508)
-        i = 0
-        while i < self.window.n_frames:
-            if self.window.frames[i].flagged_for_marg:
-                self._marginalize_frame(i)
-                i = 0
-            else:
-                i += 1
+        with self._stage("marg_frames"):
+            i = 0
+            while i < self.window.n_frames:
+                if self.window.frames[i].flagged_for_marg:
+                    self._marginalize_frame(i)
+                    i = 0
+                else:
+                    i += 1
+
+        # per-KF structured record (printLogLine equivalent)
+        self._stage_ms["total"] = 1000.0 * (time.perf_counter() - t_kf0)
+        win = self.window.frames
+        self.metrics.keyframe(
+            fs.frame_id, rmse, self.window.pts.n_active(), len(win),
+            (win[0].frame_id, win[-1].frame_id) if win else (0, 0),
+            stages={k: round(v, 1) for k, v in self._stage_ms.items()},
+        )
         return rmse
 
     def _make_non_keyframe(self, frame):
@@ -690,8 +774,10 @@ class FullSystem:
         newest = nf - 1
         c = self.calib
 
-        # one device call + two pulls: packed trace state AND the level-1
-        # distance map from projecting active points into the new keyframe
+        # ONE device call + ONE flat pull: candidate gating, dead/OOB
+        # deletion, level-1 projection, compaction AND the distance map all
+        # happen on device (activation_prep2); the host only runs the
+        # greedy spacing and uploads the accepted slot list
         M = self.s.max_immature_per_frame
         Fd = w.F
         KRKi1 = np.zeros((Fd, 3, 3), np.float32)
@@ -702,79 +788,51 @@ class FullSystem:
             KRKi1[hh] = self.calib.K[1] @ h2n.R @ self.calib.Ki[0]
             Kt1f[hh] = self.calib.K[1] @ h2n.t
         m_in = p.active & (p.host != newest)
-        packed_dev, dmap_dev = imm.activation_prep(
+        h1, w1 = c.h[1], c.w[1]
+        flagged = np.zeros(Fd, bool)
+        for hh in range(nf):
+            flagged[hh] = w.frames[hh].flagged_for_marg
+        C = 4096
+        flat = np.asarray(imm.activation_prep2(
             self.imm_static, self.imm_trace,
             jnp.asarray(p.u), jnp.asarray(p.v), jnp.asarray(p.idepth),
             jnp.asarray(p.host), jnp.asarray(m_in),
             jnp.asarray(KRKi1), jnp.asarray(Kt1f),
-            self.calib.h[1], self.calib.w[1],
-        )
-        packed = np.asarray(packed_dev)
+            jnp.asarray(flagged), jnp.int32(newest),
+            s.min_trace_quality, F=Fd, M=M, C=C, h1=h1, w1=w1,
+        ))
+        o = 1
+        n_cand = min(int(flat[0]), C)
+        validf = flat[o:o + Fd * M] > 0.5
+        o += Fd * M
+        dmap = flat[o:o + h1 * w1].reshape(h1, w1)
+        o += h1 * w1
+        cslot = flat[o:o + C].astype(np.int64); o += C
+        cuu = flat[o:o + C]; o += C
+        cvv = flat[o:o + C]; o += C
+        cid0 = flat[o:o + C]
+        # adopt the device-side deletions (dead / OOB / flagged-host filter)
         for h in range(nf):
-            st = self.immatures[h]
-            sl = packed[h * M : (h + 1) * M]
-            st.idepth_min = sl[:, 2].copy()
-            st.idepth_max = sl[:, 3].copy()
-            st.status = sl[:, 4].astype(np.int32)
-            st.quality = sl[:, 5].copy()
-            st.pixel_interval = sl[:, 6].copy()
-        h1, w1 = c.h[1], c.w[1]
-        K1 = c.K[1]
-        Ki0 = c.Ki[0]
-
-        # candidates per host frame (the distance map came from
-        # activation_prep above)
-        new_fs = w.frames[newest]
-        cand_data = []
-        for h in range(nf):
-            host = w.frames[h]
-            if h == newest:
-                continue
-            h2n = new_fs.PRE_worldToCam * host.PRE_camToWorld
-            KRKi1 = K1 @ h2n.R @ Ki0
-            Kt1 = K1 @ h2n.t
-            # candidate immature points of this host
-            st = self.immatures[h]
-            iv = st.valid
-            # delete never-traced/outlier points (:824-830)
-            dead = iv & (~np.isfinite(st.idepth_max) | (st.status == imm.IPS_OUTLIER))
-            st.valid = iv & ~dead
-            can = st.valid & np.isin(
-                st.status, (imm.IPS_GOOD, imm.IPS_SKIPPED, imm.IPS_BADCONDITION, imm.IPS_OOB)
-            ) & (st.pixel_interval < 8) & (st.quality > s.min_trace_quality) \
-                & ((st.idepth_max + st.idepth_min) > 0)
-            # points on frames being marginalized that can't activate: delete
-            if w.frames[h].flagged_for_marg:
-                st.valid &= can  # keep only activatable ones for this round
-            idxs = np.nonzero(can)[0]
-            if len(idxs) == 0:
-                continue
-            idc = 0.5 * (st.idepth_max[idxs] + st.idepth_min[idxs])
-            pts3 = (KRKi1 @ np.stack([st.u[idxs], st.v[idxs], np.ones(len(idxs))])).T \
-                + Kt1[None, :] * idc[:, None]
-            uu = pts3[:, 0] / pts3[:, 2]
-            vv = pts3[:, 1] / pts3[:, 2]
-            inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-            # OOB candidates deleted (:873-877)
-            oob_idx = idxs[~inb]
-            st.valid[oob_idx] = False
-            for j, ui, vi in zip(idxs[inb], uu[inb], vv[inb]):
-                cand_data.append((h, j, ui, vi))
-        if not cand_data:
+            self.immatures[h].valid = validf[h * M:(h + 1) * M].copy()
+        if n_cand == 0:
             self._push_imm_valid()
             return
 
-        dmap = np.asarray(dmap_dev)
-
-        # greedy spacing: existing-point distance + candidate-candidate thinning
+        # greedy spacing: existing-point distance + candidate-candidate
+        # thinning (reference activatePointsMT's dist-map gate)
         accepted = []
         occ = np.full((h1, w1), 1e4, np.float32)
-        for h, j, ui, vi in cand_data:
+        for k in range(n_cand):
+            slot = cslot[k]
+            if slot < 0:
+                continue
+            h, j = int(slot) // M, int(slot) % M
+            ui, vi = float(cuu[k]), float(cvv[k])
             st = self.immatures[h]
             need = self.current_min_act_dist * st.my_type[j]
             d0 = dmap[int(vi), int(ui)] + (ui - np.floor(ui))
             if d0 >= need and occ[int(vi), int(ui)] >= need:
-                accepted.append((h, j))
+                accepted.append((h, j, float(cid0[k])))
                 yy0 = max(int(vi) - 4, 0); yy1 = min(int(vi) + 5, h1)
                 xx0 = max(int(ui) - 4, 0); xx1 = min(int(ui) + 5, w1)
                 yy, xx = np.mgrid[yy0:yy1, xx0:xx1]
@@ -785,20 +843,16 @@ class FullSystem:
             self._push_imm_valid()
             return
         # batched idepth optimization
-        N = len(accepted)
-        cap = 4096
-        accepted = accepted[:cap]
+        accepted = accepted[:C]
         N = len(accepted)
         hosts = np.array([a[0] for a in accepted], np.int32)
-        ids = np.array([a[1] for a in accepted])
-        u = np.array([self.immatures[h].u[j] for h, j in accepted], np.float32)
-        v = np.array([self.immatures[h].v[j] for h, j in accepted], np.float32)
-        col = np.stack([self.immatures[h].color[j] for h, j in accepted])
-        wgt = np.stack([self.immatures[h].weights[j] for h, j in accepted])
-        eth = np.array([self.immatures[h].energy_th[j] for h, j in accepted], np.float32)
-        id0 = np.array(
-            [0.5 * (self.immatures[h].idepth_max[j] + self.immatures[h].idepth_min[j])
-             for h, j in accepted], np.float32)
+        u = np.array([self.immatures[h].u[j] for h, j, _ in accepted], np.float32)
+        v = np.array([self.immatures[h].v[j] for h, j, _ in accepted], np.float32)
+        col = np.stack([self.immatures[h].color[j] for h, j, _ in accepted])
+        wgt = np.stack([self.immatures[h].weights[j] for h, j, _ in accepted])
+        eth = np.array([self.immatures[h].energy_th[j] for h, j, _ in accepted],
+                       np.float32)
+        id0 = np.array([a[2] for a in accepted], np.float32)
 
         F = w.F
         PRE_R = np.zeros((F, F, 3, 3), np.float32)
@@ -816,7 +870,11 @@ class FullSystem:
         f_act = np.zeros(F, bool)
         f_act[:nf] = True
 
-        pad = 256 * int(np.ceil(N / 256))
+        # pad to a power-of-two bucket: bounds distinct compiled shapes of
+        # the activation kernel to 4 (a fresh pad size = a fresh XLA compile)
+        pad = 512
+        while pad < N:
+            pad *= 2
         def padded(a, fill=0):
             out = np.full((pad,) + a.shape[1:], fill, a.dtype)
             out[:N] = a
@@ -843,7 +901,8 @@ class FullSystem:
             m = ok & (hosts == hh)
             if not m.any():
                 continue
-            my_t = np.array([self.immatures[h].my_type[j] for (h, j), mm in zip(accepted, m) if mm],
+            my_t = np.array([self.immatures[h].my_type[j]
+                             for (h, j, _), mm in zip(accepted, m) if mm],
                             np.float32)
             slots = w.insert_points(
                 hh, u[m], v[m], col[m], wgt[m], idepth[m], eth[m], my_type=my_t
@@ -855,7 +914,7 @@ class FullSystem:
                         w.add_residuals(np.array([slot]), tt)
             self.statistics["n_points_activated"] += len(slots)
         # consume immature points that were optimized (activated or failed)
-        for (h, j), okj in zip(accepted, ok):
+        for (h, j, _), okj in zip(accepted, ok):
             self.immatures[h].valid[j] = False
         self._push_imm_valid()
 
@@ -953,8 +1012,36 @@ class FullSystem:
             shell=fs.shell, maps=tuple(maps), colors=colors,
             aff=fs.aff_g2l(), aff_last=fs.aff_g2l(), exposure=fs.ab_exposure,
         )
+        # depth-image pane (reference pushDepthImage, drawn from the
+        # tracker's reference idepth map); pulled only when a sink wants it
+        sinks = [ow for ow in self.output_wrappers
+                 if getattr(ow, "wants_depth_image", False)]
+        if sinks:
+            idm = np.asarray(maps[0][0])
+            vm = np.asarray(maps[0][1])
+            bg = self.kf_images[newest] if newest < len(self.kf_images) else None
+            for ow in sinks:
+                try:
+                    ow.push_depth_image(dict(idepth=idm, valid=vm & (idm > 0),
+                                             background=bg))
+                except Exception:
+                    pass
 
     # ------------------------------------------------------------------
+    def sync_immature_host(self):
+        """Pull the device-resident trace state into the host stores.
+        The hot path never needs this (activation gates on device); the
+        dense mapper and checkpointing do."""
+        M = self.s.max_immature_per_frame
+        packed = np.asarray(imm.pack_for_host(self.imm_static, self.imm_trace))
+        for h, st in enumerate(self.immatures):
+            sl = packed[h * M:(h + 1) * M]
+            st.idepth_min = sl[:, 2].copy()
+            st.idepth_max = sl[:, 3].copy()
+            st.status = sl[:, 4].astype(np.int32)
+            st.quality = sl[:, 5].copy()
+            st.pixel_interval = sl[:, 6].copy()
+
     def _push_imm_valid(self):
         F, M = self.window.F, self.s.max_immature_per_frame
         valid = np.zeros(F * M, bool)
@@ -985,19 +1072,17 @@ class FullSystem:
             xs, ys, types = xs[sel], ys[sel], types[sel]
         st = self.immatures[new_idx]
         n = len(xs)
-        # pad to the fixed store size M so the jit compiles once
-        xs_p = np.zeros(M, np.float32)
-        ys_p = np.zeros(M, np.float32)
-        xs_p[:n] = xs
-        ys_p[:n] = ys
-        packed_imm = np.asarray(imm.make_immature_data_packed(
-            dIs[0], jnp.asarray(xs_p), jnp.asarray(ys_p)
-        ))
-        col = packed_imm[:, 0:8]
-        wgt = packed_imm[:, 8:16]
-        gradH = packed_imm[:, 16:20].reshape(-1, 2, 2)
-        ok = packed_imm[:, 20] > 0.5
-        ok[n:] = False
+        # static immature data computed HOST-side from the selector pyramid
+        # (numpy twin of make_immature_data) -- no device pull; the device
+        # store receives the same values via the set_block upload below
+        col = np.zeros((M, 8), np.float32)
+        wgt = np.zeros((M, 8), np.float32)
+        gradH = np.zeros((M, 2, 2), np.float32)
+        ok = np.zeros(M, bool)
+        if n:
+            col[:n], wgt[:n], gradH[:n], ok[:n] = _host_immature_data(
+                h_dI0, xs.astype(np.float32), ys.astype(np.float32)
+            )
         st.valid[:n] = ok[:n]
         st.u[:n] = xs
         st.v[:n] = ys
@@ -1103,6 +1188,47 @@ class FullSystem:
         self._push_imm_valid()
 
     # ==================================================================
+    def rebuild_after_resume(self):
+        """Reconstruct the derived runtime state a checkpoint does not
+        carry: per-KF pyramids (from the device image stack), host
+        intensity images and the coarse-tracking reference, so add_frame
+        works immediately after load_checkpoint."""
+        w = self.window
+        nf = w.n_frames
+        if nf == 0:
+            return
+        self.frame_pyramids = {}
+        for i, fs in enumerate(w.frames):
+            dIs, ags = build_pyramid(w.images[i][..., 0], self.calib.levels,
+                                     self.gamma_b_grad)
+            self.frame_pyramids[id(fs)] = (dIs, ags)
+            self.kf_images[i] = np.asarray(w.images[i][..., 0])
+
+        # center projections of active points into the newest KF at the FEJ
+        # point (mirrors ba_kernels center_proj), host-side: resume is rare
+        p = w.pts
+        newest = nf - 1
+        fx, fy, cx, cy = w.calib_value
+        new_fs = w.frames[newest]
+        F = w.F
+        R0 = np.tile(np.eye(3, dtype=np.float64), (F, 1, 1))
+        t0 = np.zeros((F, 3))
+        for h in range(nf):
+            l2l0 = new_fs.worldToCam_evalPT * w.frames[h].worldToCam_evalPT.inverse()
+            R0[h], t0[h] = l2l0.R, l2l0.t
+        KliP = np.stack([(p.u - cx) / fx, (p.v - cy) / fy, np.ones(w.P)], -1)
+        ptp0 = (np.einsum("pij,pj->pi", R0[p.host], KliP)
+                + t0[p.host] * p.idepth_zero[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dresc = np.where(ptp0[:, 2] != 0, 1.0 / ptp0[:, 2], 0.0)
+        cp = np.stack([
+            fx * ptp0[:, 0] * dresc + cx,
+            fy * ptp0[:, 1] * dresc + cy,
+            p.idepth_zero * dresc,
+        ], -1).astype(np.float32)
+        w._center_newest_dev = jnp.asarray(cp)
+        self._set_tracker_ref(dict(shell=new_fs.shell))
+
     def trajectory(self):
         """TUM-format rows (printResult :445-499)."""
         rows = []

@@ -19,6 +19,7 @@ class MetricsLogger:
         self._fh = open(path, "a") if path else None
         self.track_ms = deque(maxlen=window)
         self.map_ms = deque(maxlen=window)
+        self.kf_stage_ms = deque(maxlen=window)
         self.counters = {}
 
     def log(self, event: str, **fields):
@@ -32,14 +33,23 @@ class MetricsLogger:
         self.counters[name] = self.counters.get(name, 0) + n
 
     def frame(self, ms: float, is_kf: bool):
-        (self.map_ms if is_kf else self.track_ms).append(ms)
+        """Tracking-half wall time of one frame (is_kf = became a keyframe;
+        its mapping-half cost is the matching 'keyframe' record)."""
+        self.track_ms.append(ms)
         self.log("frame", ms=round(ms, 2), kf=is_kf)
 
     def keyframe(self, kf_id: int, rmse: float, n_points: int, n_frames: int,
-                 window_span: tuple):
-        """Per-KF console line equivalent (printLogLine)."""
-        self.log("keyframe", kf=kf_id, rmse=round(float(rmse), 4),
-                 points=n_points, frames=n_frames, span=list(window_span))
+                 window_span: tuple, stages: dict | None = None):
+        """Per-KF console line equivalent (printLogLine) plus a per-stage
+        host-blocking-ms breakdown."""
+        self.kf_stage_ms.append(stages or {})
+        if stages and "total" in stages:
+            self.map_ms.append(stages["total"])
+        return self.log(
+            "keyframe", kf=kf_id, rmse=round(float(rmse), 4),
+            points=n_points, frames=n_frames, span=list(window_span),
+            stages=stages or {},
+        )
 
     def summary(self) -> dict:
         import numpy as np
@@ -49,6 +59,12 @@ class MetricsLogger:
             out["track_ms_median"] = float(np.median(self.track_ms))
         if self.map_ms:
             out["map_ms_median"] = float(np.median(self.map_ms))
+        if self.kf_stage_ms:
+            keys = set().union(*self.kf_stage_ms)
+            out["kf_stage_ms_median"] = {
+                k: float(np.median([d.get(k, 0.0) for d in self.kf_stage_ms]))
+                for k in sorted(keys)
+            }
         return out
 
     def close(self):

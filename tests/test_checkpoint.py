@@ -42,16 +42,35 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     rmse = sys2.window.optimize_device(2)
     assert np.isfinite(rmse)
 
+    # the full pre-checkpoint trajectory survives the roundtrip
+    t1 = sys1.trajectory()
+    t2 = sys2.trajectory()
+    assert len(t2) == len(t1)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-6)
+
+    # tracking continues after resume: feed more frames and verify the
+    # poses stay close to a fresh uninterrupted run
+    for k in range(14, 20):
+        img, _ = scene.render(gt[k])
+        sys2.add_frame(img, 1.0, float(k), k)
+        sys1.add_frame(img, 1.0, float(k), k)
+    assert not sys2.is_lost and sys2.all_shells[-1].poseValid
+    p1 = sys1.all_shells[-1].camToWorld
+    p2 = sys2.all_shells[-1].camToWorld
+    assert np.linalg.norm(p1.t - p2.t) < 0.05 * max(np.linalg.norm(p1.t), 0.1)
+
 
 def test_metrics_logger(tmp_path):
     log = MetricsLogger(str(tmp_path / "m.jsonl"))
     log.frame(12.5, is_kf=False)
     log.frame(80.0, is_kf=True)
-    log.keyframe(3, 1.23, 800, 6, (0, 5))
+    log.keyframe(3, 1.23, 800, 6, (0, 5), stages={"total": 700.0, "optimize": 300.0})
     log.bump("points_activated", 42)
     s = log.summary()
     assert s["points_activated"] == 42
-    assert s["track_ms_median"] == 12.5
+    assert s["track_ms_median"] == pytest.approx(46.25)
+    assert s["map_ms_median"] == 700.0
+    assert s["kf_stage_ms_median"]["optimize"] == 300.0
     log.close()
     lines = open(str(tmp_path / "m.jsonl")).readlines()
     assert len(lines) == 3

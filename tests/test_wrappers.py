@@ -1,0 +1,74 @@
+"""Output-wrapper integration: graph publishing, render dumps, metrics.
+
+Covers the reference's Output3DWrapper contract
+(src/IOWrapper/Output3DWrapper.h:113-199): publishGraph connectivity,
+pushLiveFrame / pushDepthImage panes, on a short synthetic run.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from nalo_slam_tpu.config import Settings
+from nalo_slam_tpu.io.wrappers import GraphWriter, RenderWrapper
+from nalo_slam_tpu.system import FullSystem
+from nalo_slam_tpu.utils.synthetic import PlaneScene, default_calib
+from test_full_system import make_trajectory
+
+
+@pytest.mark.slow
+def test_graph_and_render_wrappers(tmp_path):
+    s = Settings(
+        max_window_frames=8, max_points=2048, max_immature_per_frame=512,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        use_lidar=False, dense_track=False, plane_optimize=False,
+    )
+    calib = default_calib(320, 240)
+    scene = PlaneScene(calib, z0=3.0)
+    gt = make_trajectory(12)
+    sys_ = FullSystem(s, calib)
+    gw = GraphWriter(str(tmp_path / "graph.txt"))
+    rw = RenderWrapper(str(tmp_path / "renders"), every=2)
+    sys_.output_wrappers += [gw, rw]
+    for k in range(12):
+        img, _ = scene.render(gt[k])
+        sys_.add_frame(img, 1.0, float(k), k)
+    assert sys_.initialized and not sys_.is_lost
+
+    # connectivity: entries exist, counts positive, hosts/targets are KF ids
+    conn = gw.connectivity
+    assert conn, "publish_graph never delivered a connectivity map"
+    kf_ids = {fs.frame_id for fs in sys_.window.frames}
+    total_active = 0
+    for (h, t), (na, nm) in conn.items():
+        assert na >= 0 and nm >= 0 and (na or nm)
+        total_active += na
+    assert total_active > 0
+    assert any(h in kf_ids for (h, t) in conn)
+    # active counts match the residual grid
+    p = sys_.window.pts
+    assert total_active == int(p.r_exists[p.active].sum())
+    gw.join()
+    assert os.path.getsize(tmp_path / "graph.txt") > 0
+
+    # renders: live frames (every=2) + per-KF depth panes + trajectory
+    rw.join()
+    files = os.listdir(tmp_path / "renders")
+    assert sum(f.startswith("live_") for f in files) >= 2
+    assert sum(f.startswith("depth_") for f in files) >= 2
+    assert "trajectory.png" in files
+
+    # per-KF metrics got stage breakdowns
+    summ = sys_.metrics.summary()
+    assert "kf_stage_ms_median" in summ
+    assert summ["kf_stage_ms_median"]["total"] > 0
+
+
+def test_dryrun_multichip_inprocess():
+    """With 8 visible devices (conftest mesh) the dryrun runs in-process."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
