@@ -146,6 +146,11 @@ class PointArrays:
         self.my_type = np.ones(P, np.float32)
         self.status = np.zeros(P, np.int8)           # 0 active, 1 marg, 2 drop
 
+        # lastResiduals[2] (reference HessianBlocks.h:476): the residual
+        # state towards the newest ([:,0]) and second-newest ([:,1]) KF at
+        # their last linearization, kept across residual drops
+        self.last_res_state = np.full((P, 2), RES_NONE, np.int8)
+
         # residual slots
         self.r_exists = np.zeros((P, F), bool)
         self.r_state = np.full((P, F), RES_NONE, np.int8)

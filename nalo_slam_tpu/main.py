@@ -16,10 +16,20 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+import jax
+
+# persistent XLA compile cache (per platform): repeat CLI runs skip the
+# multi-minute first-compile cost on the tunneled device
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/nalo_jax_cache_" + os.environ.get("JAX_PLATFORMS", "axon").split(",")[0],
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .config import Settings, parse_kv_args
 from .geometry import PyramidCalib

@@ -38,10 +38,6 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
         sys2.window.frames[-1].PRE_worldToCam.matrix(),
         sys1.window.frames[-1].PRE_worldToCam.matrix(),
     )
-    # the restored window can still run BA
-    rmse = sys2.window.optimize_device(2)
-    assert np.isfinite(rmse)
-
     # the full pre-checkpoint trajectory survives the roundtrip
     t1 = sys1.trajectory()
     t2 = sys2.trajectory()
