@@ -165,6 +165,10 @@ class Settings:
     benchmark_var_noise: float = 0.0       # px-shift noise amplitude
     benchmark_noise_grid_size: int = 3
     benchmark_var_blur_noise: float = 0.0  # unused placeholder like reference
+    # benchmark resize hooks (settings.cpp:180-182, Undistort.cpp:892-917)
+    benchmark_width: int = 0               # override output width
+    benchmark_height: int = 0              # override output height
+    benchmark_fxfyfac: float = 0.0         # lower bound on output fx/fy
 
     # --- playback / misc ---
     debugout_runquiet: bool = True
@@ -267,6 +271,14 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
                               affine_opt_mode_a=-1.0, affine_opt_mode_b=-1.0)
         elif k == "quiet":
             s = s.replace(debugout_runquiet=bool(int(v)))
+        elif k == "width":      # benchmark resize hooks (:419-445)
+            s = s.replace(benchmark_width=int(v))
+        elif k == "height":
+            s = s.replace(benchmark_height=int(v))
+        elif k == "fxfyfac":
+            s = s.replace(benchmark_fxfyfac=float(v))
+        elif k == "noise":      # geometric noise amplitude (px)
+            s = s.replace(benchmark_var_noise=float(v))
         else:
             extras[k] = v
     return s, extras

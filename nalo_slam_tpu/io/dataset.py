@@ -52,11 +52,28 @@ class ImageFolderReader:
     def __init__(self, images_path: str, calib_file: str,
                  gamma_file: str | None = None, vignette_file: str | None = None,
                  masks_path: str | None = None, colors_path: str | None = None,
-                 photometric_mode: int = 2):
+                 photometric_mode: int = 2, settings=None):
         self.zf, self.files = _list_images(images_path)
         if not self.files:
             raise FileNotFoundError(f"no images under {images_path}")
-        self.undistorter = Undistorter.from_file(calib_file)
+        # benchmark hooks from Settings (resize: settings.cpp:180-182;
+        # per-frame geometric noise: Undistort.cpp:452-495)
+        bw = bh = 0
+        bfac = bnoise = 0.0
+        bgrid = 3
+        if settings is not None:
+            bw = settings.benchmark_width
+            bh = settings.benchmark_height
+            bfac = settings.benchmark_fxfyfac
+            bnoise = settings.benchmark_var_noise
+            bgrid = settings.benchmark_noise_grid_size
+        self.undistorter = Undistorter.from_file(
+            calib_file, benchmark_width=bw, benchmark_height=bh,
+            benchmark_fxfyfac=bfac,
+        )
+        if bnoise > 0:
+            self.undistorter.set_benchmark_noise(
+                bnoise, bgrid, seed=settings.seed if settings else 0)
         self.photo = PhotometricUndistorter(
             gamma_file, vignette_file,
             self.undistorter.w_org, self.undistorter.h_org, photometric_mode,
@@ -73,7 +90,10 @@ class ImageFolderReader:
         self.native = None
         try:
             from ..native import FramePipeline, native_available
-            if native_available() and not self.undistorter.passthrough:
+            # the native pipeline bakes the remap table, so it cannot serve
+            # the per-frame benchmark noise path
+            if (native_available() and not self.undistorter.passthrough
+                    and bnoise <= 0):
                 vig = self.photo.vignette_inv
                 vig = None if np.all(vig == 1.0) else vig
                 g = np.interp(np.arange(256),

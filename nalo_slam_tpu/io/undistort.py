@@ -62,8 +62,39 @@ _MODELS = {
 }
 
 
+def _bicubic_interp(g: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized bicubic (Catmull-Rom, a=-0.5) lookup into grid g,
+    matching the reference's getInterpolatedElement11BiCub sampling of the
+    benchmark noise grids."""
+    H, W = g.shape
+    x0 = np.clip(np.floor(x).astype(np.int64), 1, W - 3)
+    y0 = np.clip(np.floor(y).astype(np.int64), 1, H - 3)
+    tx = np.clip(x - x0, 0.0, 1.0)
+    ty = np.clip(y - y0, 0.0, 1.0)
+
+    def wts(t):
+        t2, t3 = t * t, t * t * t
+        return (
+            -0.5 * t3 + t2 - 0.5 * t,
+            1.5 * t3 - 2.5 * t2 + 1.0,
+            -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+            0.5 * t3 - 0.5 * t2,
+        )
+
+    wx = wts(tx)
+    wy = wts(ty)
+    out = np.zeros_like(tx, dtype=np.float64)
+    for j in range(4):
+        row = np.zeros_like(tx, dtype=np.float64)
+        for i in range(4):
+            row += wx[i] * g[y0 + j - 1, x0 + i - 1]
+        out += wy[j] * row
+    return out
+
+
 class Undistorter:
-    def __init__(self, model: str, params, in_size, out_size, out_mode):
+    def __init__(self, model: str, params, in_size, out_size, out_mode,
+                 benchmark_fxfyfac: float = 0.0):
         """params: [fx fy cx cy dist...] -- absolute pixels, or relative
         (<=1) which are scaled by the input size like the reference
         (Undistort.cpp readFromFile)."""
@@ -71,6 +102,9 @@ class Undistorter:
         self.distort_fn = _MODELS[model][0]
         self.w_org, self.h_org = in_size
         self.w, self.h = out_size
+        self.benchmark_var_noise = 0.0
+        self.benchmark_noise_grid = 3
+        self._noise_rng = None
         params = np.array(params, np.float64)
         if params[2] < 1 and params[3] < 1:  # relative calibration
             params[0] *= self.w_org
@@ -98,11 +132,21 @@ class Undistorter:
                  [0, fy * self.h, cy * self.h - 0.5],
                  [0, 0, 1]]
             )
+        # benchmark focal-length floor (reference Undistort.cpp:952-957)
+        if benchmark_fxfyfac != 0:
+            self.K[0, 0] = max(benchmark_fxfyfac, self.K[0, 0])
+            self.K[1, 1] = max(benchmark_fxfyfac, self.K[1, 1])
+            self.passthrough = False
         self._make_remap()
 
     # -- parsing -----------------------------------------------------------
     @staticmethod
-    def from_file(path: str) -> "Undistorter":
+    def from_file(path: str, benchmark_width: int = 0, benchmark_height: int = 0,
+                  benchmark_fxfyfac: float = 0.0) -> "Undistorter":
+        """benchmark_* are the resize hooks of the reference
+        (settings.cpp:180-182, Undistort.cpp:892-917): override the output
+        resolution (switching 'none' to 'crop' when it changes) and floor
+        the output focal length."""
         with open(path) as f:
             lines = [ln.strip() for ln in f.readlines() if ln.strip()]
         toks = lines[0].split()
@@ -126,7 +170,16 @@ class Undistorter:
             mode = mode_line
         else:
             mode = [float(x) for x in mode_line.split()][:4]
-        return Undistorter(model, params, (in_w, in_h), (out_w, out_h), mode)
+        if benchmark_width:
+            out_w = benchmark_width
+            if mode == "none":
+                mode = "crop"   # resolution changed (Undistort.cpp:895-898)
+        if benchmark_height:
+            out_h = benchmark_height
+            if mode == "none":
+                mode = "crop"
+        return Undistorter(model, params, (in_w, in_h), (out_w, out_h), mode,
+                           benchmark_fxfyfac=benchmark_fxfyfac)
 
     # -- K computation -----------------------------------------------------
     def _undistorted_bounds(self, n=100):
@@ -194,51 +247,72 @@ class Undistorter:
         self._bad = bad
 
     def set_benchmark_noise(self, var_noise: float, grid: int = 3, seed: int = 0):
-        """Synthetic geometric-noise injection for robustness benchmarks
-        (reference Undistort.cpp:452-484): perturb the remap table with a
-        smooth random per-grid-cell pixel shift."""
-        if var_noise <= 0:
-            return
-        rng = np.random.default_rng(seed)
-        gx = rng.uniform(-var_noise, var_noise, (grid + 2, grid + 2))
-        gy = rng.uniform(-var_noise, var_noise, (grid + 2, grid + 2))
-        yy, xx = np.meshgrid(
-            np.linspace(0, grid, self.h), np.linspace(0, grid, self.w),
-            indexing="ij",
-        )
-        def interp(g):
-            x0 = xx.astype(int); y0 = yy.astype(int)
-            dx = xx - x0; dy = yy - y0
-            return (g[y0, x0] * (1-dx)*(1-dy) + g[y0, x0+1] * dx*(1-dy)
-                    + g[y0+1, x0] * (1-dx)*dy + g[y0+1, x0+1] * dx*dy)
-        ok = ~self._bad
-        self.remap_x = np.where(ok, self.remap_x + interp(gx).astype(np.float32), self.remap_x)
-        self.remap_y = np.where(ok, self.remap_y + interp(gy).astype(np.float32), self.remap_y)
-        np.clip(self.remap_x, -1, self.w_org - 1.001, out=self.remap_x)
-        np.clip(self.remap_y, -1, self.h_org - 1.001, out=self.remap_y)
+        """Arm per-frame geometric-noise injection for robustness
+        benchmarks (reference Undistort.cpp:452-495): each undistorted
+        frame draws a FRESH (grid+8)^2 random shift field, the output
+        pixel position is bicubically perturbed by it, and the remap
+        table is re-sampled at the shifted position."""
+        self.benchmark_var_noise = float(var_noise)
+        self.benchmark_noise_grid = int(grid)
+        self._noise_rng = np.random.default_rng(seed)
+
+    def _noisy_remap(self):
+        """One frame's perturbed remap tables (fresh noise each call)."""
+        g = self.benchmark_noise_grid
+        var = self.benchmark_var_noise
+        nmx = self._noise_rng.uniform(-var, var, (g + 8, g + 8))
+        nmy = self._noise_rng.uniform(-var, var, (g + 8, g + 8))
+        # noise sampled at the undistorted source position (xx/wOrg scaled
+        # into grid coords, +4 border -- Undistort.cpp:480-481)
+        sx = 4.0 + (self.remap_x / self.w_org) * g
+        sy = 4.0 + (self.remap_y / self.h_org) * g
+        dx = _bicubic_interp(nmx, sx, sy)
+        dy = _bicubic_interp(nmy, sx, sy)
+        yy, xx = np.meshgrid(np.arange(self.h, dtype=np.float64),
+                             np.arange(self.w, dtype=np.float64), indexing="ij")
+        x = np.clip(xx + dx, 0.01, self.w - 1.01)
+        y = np.clip(yy + dy, 0.01, self.h - 1.01)
+        # bilinear re-lookup of the remap table at the shifted output
+        # position (Undistort.cpp:492-493)
+        x0 = x.astype(np.int64)
+        y0 = y.astype(np.int64)
+        fx = (x - x0).astype(np.float32)
+        fy = (y - y0).astype(np.float32)
+
+        def bl(t):
+            return (t[y0, x0] * (1 - fx) * (1 - fy) + t[y0, x0 + 1] * fx * (1 - fy)
+                    + t[y0 + 1, x0] * (1 - fx) * fy + t[y0 + 1, x0 + 1] * fx * fy)
+
+        return bl(self.remap_x).astype(np.float32), bl(self.remap_y).astype(np.float32)
 
     def undistort_image(self, img: np.ndarray) -> np.ndarray:
         """Bilinear resample through the remap table; invalid pixels -> 0."""
         if self.passthrough:
+            # the reference's passthrough path skips noise too (:523-526)
             return img.astype(np.float32)
+        if self.benchmark_var_noise > 0:
+            rx, ry = self._noisy_remap()
+            bad = (rx < 0) | (ry < 0)
+        else:
+            rx, ry, bad = self.remap_x, self.remap_y, self._bad
         if cv2 is not None:
             out = cv2.remap(
-                img.astype(np.float32), self.remap_x, self.remap_y,
+                img.astype(np.float32), rx, ry,
                 interpolation=cv2.INTER_LINEAR,
                 borderMode=cv2.BORDER_CONSTANT, borderValue=0,
             )
         else:
-            x0 = np.clip(self.remap_x.astype(int), 0, self.w_org - 2)
-            y0 = np.clip(self.remap_y.astype(int), 0, self.h_org - 2)
-            dx = np.clip(self.remap_x - x0, 0, 1)
-            dy = np.clip(self.remap_y - y0, 0, 1)
+            x0 = np.clip(rx.astype(int), 0, self.w_org - 2)
+            y0 = np.clip(ry.astype(int), 0, self.h_org - 2)
+            dx = np.clip(rx - x0, 0, 1)
+            dy = np.clip(ry - y0, 0, 1)
             out = (
                 img[y0, x0] * (1 - dx) * (1 - dy)
                 + img[y0, x0 + 1] * dx * (1 - dy)
                 + img[y0 + 1, x0] * (1 - dx) * dy
                 + img[y0 + 1, x0 + 1] * dx * dy
             ).astype(np.float32)
-        out[self._bad] = 0
+        out[bad] = 0
         return out
 
     def resize_nearest(self, img: np.ndarray) -> np.ndarray:

@@ -60,6 +60,7 @@ def run(argv: list[str]) -> int:
         gamma_file=extras.get("gamma"), vignette_file=extras.get("vignette"),
         masks_path=extras.get("masks"), colors_path=extras.get("colors"),
         photometric_mode=settings.photometric_calibration,
+        settings=settings,
     )
     start = int(extras.get("start", 0))
     end = min(int(extras.get("end", 1 << 30)), len(reader))

@@ -99,6 +99,9 @@ class TestResults:
 
 
 def test_benchmark_noise_injection(tmp_path):
+    """Per-frame geometric noise (reference Undistort.cpp:452-495): the
+    noise field is resampled each frame, so two undistortions of the same
+    image differ; the shift magnitude is bounded by the amplitude."""
     from nalo_slam_tpu.io.undistort import Undistorter
 
     calib = tmp_path / "camera.txt"
@@ -106,7 +109,47 @@ def test_benchmark_noise_injection(tmp_path):
     u = Undistorter.from_file(str(calib))
     rx0 = u.remap_x.copy()
     u.set_benchmark_noise(2.0)
-    ok = ~u._bad
-    delta = np.abs(u.remap_x[ok] - rx0[ok])
-    assert delta.max() <= 2.0 + 1e-5
-    assert delta.mean() > 0.1  # actually perturbed
+    rx1, ry1 = u._noisy_remap()
+    rx2, ry2 = u._noisy_remap()
+    # interior crop: near the border the -1 invalid sentinel blends into
+    # the re-lookup (the reference has the same hazard and just zeroes
+    # negative lookups)
+    interior = np.zeros_like(u._bad)
+    interior[40:-40, 40:-40] = ~u._bad[40:-40, 40:-40]
+    # perturbed, but bounded: |interp(remap, x+dx) - remap(x)| <= amplitude
+    # times the local remap-table gradient
+    delta = np.abs(rx1[interior] - rx0[interior])
+    assert delta.mean() > 0.1
+    assert np.median(delta) <= 2.0 * 1.5
+    # fresh noise each frame
+    assert np.abs(rx1[interior] - rx2[interior]).mean() > 0.05
+    # end-to-end: undistorted images differ between frames
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+    a = u.undistort_image(img)
+    b = u.undistort_image(img)
+    assert np.abs(a - b).mean() > 0.1
+
+
+def test_benchmark_resize_hooks(tmp_path):
+    """benchmarkSetting_width/height/fxfyfac (reference settings.cpp:
+    180-186, Undistort.cpp:892-917, 952-957)."""
+    from nalo_slam_tpu.io.undistort import Undistorter
+
+    calib = tmp_path / "camera.txt"
+    calib.write_text("FOV 300 300 320 240 0.5\n640 480\ncrop\n640 480\n")
+    u = Undistorter.from_file(str(calib), benchmark_width=320,
+                              benchmark_height=240)
+    assert (u.w, u.h) == (320, 240)
+    assert u.remap_x.shape == (240, 320)
+    base = Undistorter.from_file(str(calib))
+    u2 = Undistorter.from_file(str(calib), benchmark_fxfyfac=1e6)
+    assert u2.K[0, 0] == 1e6 and u2.K[1, 1] == 1e6
+    assert base.K[0, 0] < 1e6
+    # 'none' mode flips to crop when the resolution is overridden
+    calib2 = tmp_path / "camera2.txt"
+    calib2.write_text("Pinhole 300 300 320 240 0\n640 480\nnone\n640 480\n")
+    u3 = Undistorter.from_file(str(calib2), benchmark_width=320,
+                               benchmark_height=240)
+    assert (u3.w, u3.h) == (320, 240)
+    assert not u3.passthrough
