@@ -464,13 +464,64 @@ def _adjoints_dev(evalR, evalt, state_zero, exposures, frame_valid):
     return AH * pair, AT * pair, Rl, tl
 
 
+_MARG_CACHE: dict = {}
+
+
+def make_marg_points(settings, F: int, P: int):
+    """marginalizePointsF's heavy math (reference EnergyFunctional.cpp:
+    615-676) as ONE device program with ONE flat pull: mode-2 top
+    accumulation, Schur accumulation and both stitches run on device and
+    only the stitched (4+8F)^2 H and (4+8F) b come back.  Replaces the
+    host path's ~10 separate D2H pulls (each a ~30 ms tunnel round trip)."""
+    key = (id(settings), F, P)
+    hit = _MARG_CACHE.get(key)
+    if hit is not None and hit[0] is settings:
+        return hit[1]
+
+    @jax.jit
+    def marg(jstore, mask, host, prior, adH, adT):
+        acc, nres, Hdd_, bd, Hcd = K.accumulate_top(
+            jstore, jstore["res_toZero"], mask, host, F)
+        ACC, HfC, Hpp, bC, bf = _stitch_top_dev(acc, adH, adT, F)
+        M = _dense(ACC, HfC, Hpp, F)
+        Mb = _vec(bC, bf)
+
+        ngood = jnp.sum(mask, axis=1)
+        Hdd = jnp.maximum(Hdd_ + prior, 1e-10)
+        HdiF = jnp.where(ngood > 0, 1.0 / Hdd, 0.0)
+        bdSum = jnp.where(ngood > 0, bd, 0.0)
+        JpJdF = K.compute_JpJdF(jstore, F)
+        accD, accE, accEB, accHcc, accbc = K.accumulate_sc(
+            JpJdF, Hcd, bdSum, HdiF, mask, host, F)
+        ACCs, HfCs, Hpps, bCs, bfs = _stitch_sc_dev(
+            accD, accE, accEB, accHcc, accbc, adH, adT, F)
+        Msc = _dense(ACCs, HfCs, Hpps, F)
+        Mbsc = _vec(bCs, bfs)
+        H = M - Msc
+        b = Mb - Mbsc
+        return jnp.concatenate([H.reshape(-1), b])
+
+    _MARG_CACHE[key] = (settings, marg)
+    return marg
+
+
+_FUSED_CACHE: dict = {}
+
+
 def make_device_optimizer_fused(settings, F: int, P: int):
     """optimize() + eval-point reset + linearizeAll(true) as ONE program.
 
     Returns optimize(images, pts, res, jstore, states0, calib0, f_eth0,
     inp, max_iters, newest) -> dict with the final states, the newest
     frame's new evaluation point, packed pulls and the updated stores.
+
+    Memoized per (settings identity, F, P): B window optimizers sharing one
+    Settings (the multi-sequence scale-out) share ONE compiled program.
     """
+    key = (id(settings), F, P)
+    hit = _FUSED_CACHE.get(key)
+    if hit is not None and hit[0] is settings:
+        return hit[1]
     s = settings
     base = make_device_optimizer(s, F, P)
     ab_zero = jnp.asarray(
@@ -570,6 +621,10 @@ def make_device_optimizer_fused(settings, F: int, P: int):
         new_linearized = res2["linearized"] | updj
         bad = act & (new_state != RES_IN)
         exists = res2["exists"] & ~bad
+        # recorded pre-drop state for the lastResiduals bookkeeping
+        # (reference FullSystemOptimize.cpp:172-181: the state is noted
+        # BEFORE toRemove deletes the residual)
+        state_rec = new_state
         new_state = jnp.where(bad, RES_NONE, new_state)
         new_active = new_active & ~bad
 
@@ -583,6 +638,7 @@ def make_device_optimizer_fused(settings, F: int, P: int):
             + (new_state.astype(jnp.uint8) << 1)
             + (new_active.astype(jnp.uint8) << 3)
             + (new_linearized.astype(jnp.uint8) << 4)
+            + (state_rec.astype(jnp.uint8) << 5)   # pre-drop recorded state
         )
         res3 = dict(res2, exists=exists, state=new_state, active=new_active,
                     linearized=new_linearized, energy=energy)
@@ -612,4 +668,5 @@ def make_device_optimizer_fused(settings, F: int, P: int):
                     small=small, pts_pack=pts_pack, flat=flat,
                     center_newest=center_newest, newR=newR, newt=newt)
 
+    _FUSED_CACHE[key] = (settings, optimize)
     return optimize

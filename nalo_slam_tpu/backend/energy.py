@@ -160,6 +160,10 @@ class WindowOptimizer:
         p.num_good_res[sl] = 0
         p.max_rel_baseline[sl] = 0
         p.status[sl] = 0
+        # lastResiduals default OOB (reference FullSystemOptPoint.cpp:173-176);
+        # the caller promotes [0]/[1] to IN when residuals to the newest two
+        # frames are added
+        p.last_res_state[sl] = RES_OOB
         if my_type is not None:
             p.my_type[sl] = my_type[:n]
         p.r_exists[sl] = False
@@ -319,10 +323,13 @@ class WindowOptimizer:
         upd_j = jnp.asarray(active_set & (p.r_state == RES_IN))
         self.jstore = _merge_jstore(self.jstore, out, upd_j)
 
-        # numGoodResiduals & maxRelBaseline for new residuals (:64-80)
-        isnew = p.r_is_new & upd & (p.r_state == RES_IN)
-        if isnew.any():
-            p.num_good_res += isnew.sum(1).astype(np.int32)
+        # numGoodResiduals for new residuals -- only at fixLinearization
+        # (reference FullSystemOptimize.cpp:58-80: the isNew bookkeeping
+        # runs inside the fixLinearization branch of the reductor)
+        if fix:
+            isnew = p.r_is_new & upd & (p.r_state == RES_IN)
+            if isnew.any():
+                p.num_good_res += isnew.sum(1).astype(np.int32)
         self._last_center_proj = np.asarray(out["center_proj"])
         if self.n_frames > 0:
             self._center_newest_dev = out["center_proj"][:, self.n_frames - 1]
@@ -331,6 +338,15 @@ class WindowOptimizer:
 
         removed = None
         if fix:
+            # lastResiduals state recording (FullSystemOptimize.cpp:172-181):
+            # [0] <-> the residual to the newest frame, [1] <-> the second
+            # newest; only active (non-linearized) residuals update, and the
+            # recorded state survives the drop below
+            nf = self.n_frames
+            for k1, col in ((0, nf - 1), (1, nf - 2)):
+                if col >= 0:
+                    mrec = active_set[:, col]
+                    p.last_res_state[mrec, k1] = p.r_state[mrec, col]
             # fixLinearizationF for active residuals (store res_toZero)
             mask = jnp.asarray(active_set & (p.r_state == RES_IN))
             self.jstore = _fix_linearization(
@@ -687,20 +703,25 @@ class WindowOptimizer:
             key = (self.frames[int(h)].frame_id, self.frames[int(t)].frame_id)
             self.conn_marg[key] = self.conn_marg.get(key, 0) + int(cm[h, t])
         p.prior = np.where(sel, p.prior * s.idepth_fix_prior_marg_fac, p.prior)
-        accM, nresM, HddM, bdM, HcdM, maskM = self._accumulate(2, subset=sel)
-        M, Mb = self._stitch_top(accM, use_prior=False)
-        z = np.zeros_like(HddM)
-        zc = np.zeros_like(HcdM)
-        Msc, Mbsc, *_ = self._schur(
-            maskM, np.zeros_like(np.asarray(maskM)), HddM, bdM, HcdM,
-            z, z, zc, False, subset=sel
-        )
+        # ONE device call + ONE flat pull: accumulation + Schur + stitch all
+        # run on device (device_opt.make_marg_points); the long-lived HM/bM
+        # stay f64 on the host
+        mask = p.r_exists & p.r_active & sel[:, None]
+        fn = D.make_marg_points(s, self.F, self.P)
+        flat = np.asarray(fn(
+            self.jstore, jnp.asarray(mask), jnp.asarray(p.host),
+            jnp.asarray(p.prior, jnp.float32),
+            jnp.asarray(self.ad_host, jnp.float32),
+            jnp.asarray(self.ad_target, jnp.float32),
+        ), np.float64)
+        n_full = CPARS + 8 * self.F
+        Hfull = flat[: n_full * n_full].reshape(n_full, n_full)
+        Hfull = 0.5 * (Hfull + Hfull.T)  # strip f32 stitch asymmetry
+        bfull = flat[n_full * n_full :]
         n = CPARS + self.n_frames * 8
-        H = M - Msc
-        b = Mb - Mbsc
         self.HM, self.bM = self._grow_hm(n)
-        self.HM[:n, :n] += s.marg_weight_fac * H
-        self.bM[:n] += s.marg_weight_fac * b
+        self.HM[:n, :n] += s.marg_weight_fac * Hfull[:n, :n]
+        self.bM[:n] += s.marg_weight_fac * bfull[:n]
         self.pts.remove(np.nonzero(sel)[0])
 
     def _grow_hm(self, n):
@@ -757,20 +778,28 @@ class WindowOptimizer:
 
         # compact window
         self.frames.pop(idx)
-        # shift image slots down on device (no host transfer)
-        perm = np.array(list(range(idx)) + list(range(idx + 1, self.F)) + [idx])
-        self.images = self.images[jnp.asarray(perm)]
+        # shift image slots + jstore columns down on device as ONE
+        # dispatch (each separate device op costs ms on the tunnel)
+        perm = jnp.asarray(
+            list(range(idx)) + list(range(idx + 1, self.F)) + [idx]
+        )
+        self.jstore, self.images = _permute_stores(self.jstore, self.images, perm)
         self.pts.shift_frame_down(idx, nf - 1)
-        # jstore columns must shift identically
-        st = {}
-        colorder = list(range(self.F))
-        new_order = colorder[:idx] + colorder[idx + 1 :] + [idx]
-        for k2, v2 in self.jstore.items():
-            st[k2] = v2[:, jnp.asarray(new_order)]
-        self.jstore = st
         if getattr(self, "_r_energy_dev", None) is not None:
-            self._r_energy_dev = self._r_energy_dev[:, jnp.asarray(new_order)]
+            self._r_energy_dev = _permute_cols(self._r_energy_dev, perm)
         self.set_adjoints()
+
+
+@jax.jit
+def _permute_stores(jstore, images, perm):
+    """Frame-column permute of the FEJ store + image-slot permute, fused
+    into one device program (marginalizeFrame compaction)."""
+    return {k: v[:, perm] for k, v in jstore.items()}, images[perm]
+
+
+@jax.jit
+def _permute_cols(a, perm):
+    return a[:, perm]
 
 
 # ---------------------------------------------------------------------------
@@ -879,6 +908,9 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     inp = _wo_device_inputs(self)
     pts_d = _wo_pack_pts(self)
     res_d = _wo_pack_res(self)
+    # pre-call active set ("activeResiduals"): needed after the pull for
+    # the lastResiduals / numGoodResiduals fix-time bookkeeping
+    active_pre = self.pts.r_exists & ~self.pts.r_linearized
     states0 = np.zeros((self.F, 10), np.float32)
     for i, f in enumerate(self.frames):
         states0[i] = f.state
@@ -933,6 +965,18 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     p.r_state = ((bits >> 1) & 3).astype(np.int8)
     p.r_active = ((bits >> 3) & 1).astype(bool)
     p.r_linearized = ((bits >> 4) & 1).astype(bool)
+    # fix-time bookkeeping (reference FullSystemOptimize.cpp:58-80,172-181):
+    # lastResiduals state recording from the pre-drop state, and
+    # numGoodResiduals for new residuals that came out IN
+    state_rec = ((bits >> 5) & 3).astype(np.int8)
+    for k1, col in ((0, newest), (1, newest - 1)):
+        if col >= 0:
+            mrec = active_pre[:, col]
+            p.last_res_state[mrec, k1] = state_rec[mrec, col]
+    isnew = p.r_is_new & active_pre & (p.r_state == RES_IN) & p.r_exists
+    if isnew.any():
+        p.num_good_res += isnew.sum(1).astype(np.int32)
+    p.r_is_new &= ~active_pre
     # r_energy and the newest-column center projections stay device-resident
     self._r_energy_dev = out["res"]["energy"]
     self._center_newest_dev = out["center_newest"]

@@ -481,10 +481,12 @@ def activation_prep2(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
     candidate gating, dead/OOB deletion, level-1 projection AND the BFS
     distance map, compacted into ONE flat pull:
 
-      [n_cand | valid(F*M) | dmap(h1*w1) | slot(C) | uu(C) | vv(C) | id0(C)]
+      [n_cand | valid(F*M) | slot(C) | uu(C) | vv(C) | id0(C) | d0(C)]
 
-    The returned valid already reflects dead/OOB deletion and the
-    flagged-host filter; the host adopts it wholesale."""
+    d0 is the distance-map gate value per candidate (dmap[v,u] + frac(u)),
+    evaluated on device so the full map never crosses the link.  The
+    returned valid already reflects dead/OOB deletion and the flagged-host
+    filter; the host adopts it wholesale."""
     slot_host = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
     upd = (slot_host != newest) & (slot_host < F)
     iv = static["valid"]
@@ -537,9 +539,14 @@ def activation_prep2(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
     order = jnp.argsort(~cand, stable=True)[:C]
     cslot = jnp.where(cand[order], order.astype(jnp.float32), -1.0)
     n_cand = jnp.sum(cand).astype(jnp.float32)
+    cu = uu[order]
+    cv = vv[order]
+    d0 = (d[jnp.clip(cv.astype(jnp.int32), 0, h1 - 1),
+            jnp.clip(cu.astype(jnp.int32), 0, w1 - 1)]
+          + (cu - jnp.floor(cu)))
     flat = jnp.concatenate([
-        n_cand[None], v4.astype(jnp.float32), d.reshape(-1),
-        cslot, uu[order], vv[order], idc[order],
+        n_cand[None], v4.astype(jnp.float32),
+        cslot, cu, cv, idc[order], d0,
     ])
     return flat
 

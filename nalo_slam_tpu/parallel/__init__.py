@@ -1,4 +1,4 @@
 from .mesh import make_mesh
-from .multiseq import MultiSeqTracker
+from .multiseq import MultiSeqTracker, MultiSeqSystem
 
-__all__ = ["make_mesh", "MultiSeqTracker"]
+__all__ = ["make_mesh", "MultiSeqTracker", "MultiSeqSystem"]

@@ -26,7 +26,8 @@ def save_checkpoint(path: str, system) -> None:
     for name in ("active", "host", "u", "v", "color", "weights", "idepth",
                  "idepth_zero", "energy_th", "prior", "has_depth_prior",
                  "num_good_res", "idepth_hessian", "my_type", "status",
-                 "r_exists", "r_state", "r_active", "r_linearized", "r_energy"):
+                 "last_res_state", "r_exists", "r_state", "r_active",
+                 "r_linearized", "r_energy", "r_is_new"):
         arrays[f"pts_{name}"] = getattr(p, name)
     # jstore (FEJ Jacobians)
     for k, v in w.jstore.items():
@@ -103,8 +104,10 @@ def load_checkpoint(path: str, system) -> None:
     for name in ("active", "host", "u", "v", "color", "weights", "idepth",
                  "idepth_zero", "energy_th", "prior", "has_depth_prior",
                  "num_good_res", "idepth_hessian", "my_type", "status",
-                 "r_exists", "r_state", "r_active", "r_linearized", "r_energy"):
-        setattr(p, name, data[f"pts_{name}"].copy())
+                 "last_res_state", "r_exists", "r_state", "r_active",
+                 "r_linearized", "r_energy", "r_is_new"):
+        if f"pts_{name}" in data:
+            setattr(p, name, data[f"pts_{name}"].copy())
     w.jstore = {k: jnp.asarray(data[f"jstore_{k}"])
                 for k in list(w.jstore.keys())}
 

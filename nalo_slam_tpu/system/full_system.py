@@ -250,11 +250,13 @@ class FullSystem:
                 pass
         self.map_frame(frame, need_kf)
 
-    def track_only(self, frame):
+    def track_only(self, frame, packed0=None, pre=None):
         """Tracking-thread half: coarse track + KF decision.  Returns
-        need_kf, or None when tracking failed (isLost)."""
+        need_kf, or None when tracking failed (isLost).  packed0/pre let a
+        batched multi-sequence executor inject the hypothesis-0 descent
+        result computed in one sharded call (parallel/multiseq.py)."""
         shell = frame["shell"]
-        tres = self._track_new_coarse(frame)
+        tres = self._track_new_coarse(frame, packed0=packed0, pre=pre)
         if not np.all(np.isfinite(tres)):
             self.is_lost = True
             return None
@@ -433,8 +435,9 @@ class FullSystem:
         fn = self._get_track_fn(batched, min_level)
         return fn(R0s, t0s, ab0s, ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
 
-    def _track_new_coarse(self, frame):
-        shell = frame["shell"]
+    def _track_h0_inputs(self, frame):
+        """Prologue of trackNewCoarse: motion hypotheses + affine init,
+        under the shell lock.  Returns (tries, aff0, ref)."""
         ref = self.tracker_ref  # snapshot: the mapping thread may swap it
         self._cur_exposure = frame["exposure"]
         with self.shell_lock:
@@ -444,14 +447,22 @@ class FullSystem:
                 aff0 = np.asarray(self.all_shells[-2].aff_g2l, np.float32)
             else:
                 aff0 = np.asarray(ref["aff_last"], np.float32)
+        return tries, aff0, ref
+
+    def _track_new_coarse(self, frame, packed0=None, pre=None):
+        shell = frame["shell"]
+        tries, aff0, ref = pre if pre is not None else self._track_h0_inputs(frame)
 
         # fast path: first hypothesis only (reference always breaks at :655
         # when it beats 1.5x the previous RMSE)
-        R0, t0 = tries[0].Rt32()
-        packed = np.asarray(self._run_track(
-            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False,
-            ref=ref,
-        ))
+        if packed0 is None:
+            R0, t0 = tries[0].Rt32()
+            packed = np.asarray(self._run_track(
+                jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False,
+                ref=ref,
+            ))
+        else:
+            packed = np.asarray(packed0)
         R, t, ab, res, flow, ok = self._unpack_track(packed)
         best = (R.astype(np.float64), t.astype(np.float64),
                 ab.astype(np.float64), res, flow)
@@ -571,10 +582,13 @@ class FullSystem:
         self.kf_bgr.append(frame.get("bgr"))
         self.statistics["n_keyframes"] += 1
 
-        # residuals from all existing points to the new frame (:1334-1348)
+        # residuals from all existing points to the new frame (:1334-1348);
+        # lastResiduals shift: [1] <- [0], [0] <- (new residual, IN)
         p = self.window.pts
         existing = np.nonzero(p.active)[0]
         if len(existing):
+            p.last_res_state[existing, 1] = p.last_res_state[existing, 0]
+            p.last_res_state[existing, 0] = RES_IN
             self.window.add_residuals(existing, new_idx)
 
         with self._stage("activate"):
@@ -805,12 +819,11 @@ class FullSystem:
         n_cand = min(int(flat[0]), C)
         validf = flat[o:o + Fd * M] > 0.5
         o += Fd * M
-        dmap = flat[o:o + h1 * w1].reshape(h1, w1)
-        o += h1 * w1
         cslot = flat[o:o + C].astype(np.int64); o += C
         cuu = flat[o:o + C]; o += C
         cvv = flat[o:o + C]; o += C
-        cid0 = flat[o:o + C]
+        cid0 = flat[o:o + C]; o += C
+        cd0 = flat[o:o + C]
         # adopt the device-side deletions (dead / OOB / flagged-host filter)
         for h in range(nf):
             self.immatures[h].valid = validf[h * M:(h + 1) * M].copy()
@@ -819,40 +832,59 @@ class FullSystem:
             return
 
         # greedy spacing: existing-point distance + candidate-candidate
-        # thinning (reference activatePointsMT's dist-map gate)
-        accepted = []
+        # thinning (reference activatePointsMT's dist-map gate).  The
+        # dmap gate is evaluated vectorized; only survivors enter the
+        # (inherently sequential) occupancy loop.
+        ks = cslot[:n_cand]
+        kvalid = ks >= 0
+        h_arr = (ks // M).astype(np.int64)
+        j_arr = (ks % M).astype(np.int64)
+        my_type_f = np.stack([st.my_type for st in self.immatures])
+        need_a = np.where(
+            kvalid,
+            self.current_min_act_dist
+            * my_type_f[np.clip(h_arr, 0, nf - 1), np.clip(j_arr, 0, M - 1)],
+            np.inf,
+        )
+        ui_a = cuu[:n_cand]
+        vi_a = cvv[:n_cand]
+        uii = np.clip(ui_a.astype(np.int64), 0, w1 - 1)
+        vii = np.clip(vi_a.astype(np.int64), 0, h1 - 1)
+        d0_a = cd0[:n_cand]   # device-evaluated dmap gate value
+        survivors = np.nonzero(kvalid & (d0_a >= need_a))[0]
+
+        accepted = []   # candidate indices into the prep arrays
         occ = np.full((h1, w1), 1e4, np.float32)
-        for k in range(n_cand):
-            slot = cslot[k]
-            if slot < 0:
-                continue
-            h, j = int(slot) // M, int(slot) % M
-            ui, vi = float(cuu[k]), float(cvv[k])
-            st = self.immatures[h]
-            need = self.current_min_act_dist * st.my_type[j]
-            d0 = dmap[int(vi), int(ui)] + (ui - np.floor(ui))
-            if d0 >= need and occ[int(vi), int(ui)] >= need:
-                accepted.append((h, j, float(cid0[k])))
-                yy0 = max(int(vi) - 4, 0); yy1 = min(int(vi) + 5, h1)
-                xx0 = max(int(ui) - 4, 0); xx1 = min(int(ui) + 5, w1)
+        for k in survivors:
+            iu, iv = uii[k], vii[k]
+            if occ[iv, iu] >= need_a[k]:
+                accepted.append(k)
+                yy0 = max(iv - 4, 0); yy1 = min(iv + 5, h1)
+                xx0 = max(iu - 4, 0); xx1 = min(iu + 5, w1)
                 yy, xx = np.mgrid[yy0:yy1, xx0:xx1]
-                chev = np.maximum(np.abs(yy - int(vi)), np.abs(xx - int(ui)))
+                chev = np.maximum(np.abs(yy - iv), np.abs(xx - iu))
                 occ[yy0:yy1, xx0:xx1] = np.minimum(occ[yy0:yy1, xx0:xx1], chev)
 
         if not accepted:
             self._push_imm_valid()
             return
-        # batched idepth optimization
-        accepted = accepted[:C]
-        N = len(accepted)
-        hosts = np.array([a[0] for a in accepted], np.int32)
-        u = np.array([self.immatures[h].u[j] for h, j, _ in accepted], np.float32)
-        v = np.array([self.immatures[h].v[j] for h, j, _ in accepted], np.float32)
-        col = np.stack([self.immatures[h].color[j] for h, j, _ in accepted])
-        wgt = np.stack([self.immatures[h].weights[j] for h, j, _ in accepted])
-        eth = np.array([self.immatures[h].energy_th[j] for h, j, _ in accepted],
-                       np.float32)
-        id0 = np.array([a[2] for a in accepted], np.float32)
+        # batched idepth optimization -- gather accepted data vectorized
+        # from the host immature stores
+        acc = np.asarray(accepted[:C])
+        N = len(acc)
+        hosts = h_arr[acc].astype(np.int32)
+        jj = j_arr[acc]
+        imm_u = np.stack([st.u for st in self.immatures])
+        imm_v = np.stack([st.v for st in self.immatures])
+        imm_col = np.stack([st.color for st in self.immatures])
+        imm_wgt = np.stack([st.weights for st in self.immatures])
+        imm_eth = np.stack([st.energy_th for st in self.immatures])
+        u = imm_u[hosts, jj]
+        v = imm_v[hosts, jj]
+        col = imm_col[hosts, jj]
+        wgt = imm_wgt[hosts, jj]
+        eth = imm_eth[hosts, jj]
+        id0 = cid0[acc].astype(np.float32)
 
         F = w.F
         PRE_R = np.zeros((F, F, 3, 3), np.float32)
@@ -896,26 +928,35 @@ class FullSystem:
         ok = packed_act[:, 1] > 0.5
         res_in = packed_act[:, 2:] > 0.5
 
-        # insert activated points
+        # insert activated points (batched per host, residuals per target)
+        my_t_all = my_type_f[hosts, jj].astype(np.float32)
         for hh in range(nf):
             m = ok & (hosts == hh)
             if not m.any():
                 continue
-            my_t = np.array([self.immatures[h].my_type[j]
-                             for (h, j, _), mm in zip(accepted, m) if mm],
-                            np.float32)
             slots = w.insert_points(
-                hh, u[m], v[m], col[m], wgt[m], idepth[m], eth[m], my_type=my_t
+                hh, u[m], v[m], col[m], wgt[m], idepth[m], eth[m],
+                my_type=my_t_all[m],
             )
             tgt_lists = res_in[m][: len(slots)]
-            for si, slot in enumerate(slots):
-                for tt in range(nf):
-                    if tt != hh and tgt_lists[si, tt]:
-                        w.add_residuals(np.array([slot]), tt)
+            for tt in range(nf):
+                if tt == hh:
+                    continue
+                tsel = slots[tgt_lists[:, tt]]
+                if len(tsel) == 0:
+                    continue
+                w.add_residuals(tsel, tt)
+                # lastResiduals init for fresh points (reference
+                # FullSystemOptPoint.cpp:188-199): IN towards the newest
+                # two frames when those residuals exist
+                if tt == nf - 1:
+                    p.last_res_state[tsel, 0] = RES_IN
+                elif tt == nf - 2:
+                    p.last_res_state[tsel, 1] = RES_IN
             self.statistics["n_points_activated"] += len(slots)
         # consume immature points that were optimized (activated or failed)
-        for (h, j, _), okj in zip(accepted, ok):
-            self.immatures[h].valid[j] = False
+        for h, st in enumerate(self.immatures):
+            st.valid[jj[hosts == h]] = False
         self._push_imm_valid()
 
     # ------------------------------------------------------------------
@@ -926,7 +967,17 @@ class FullSystem:
             p.remove(np.nonzero(no_res)[0])
 
     def _flag_points_for_removal(self):
-        """flagPointsForRemoval (:937-1030): status 1=marginalize, 2=drop."""
+        """flagPointsForRemoval (:937-1030): status 1=marginalize, 2=drop.
+
+        Faithful isOOB (reference HessianBlocks.h:484-507):
+          rule 1: the point has enough residuals and is well-observed, but
+                  removing the IN residuals that see marg-flagged frames
+                  would leave too few;
+          rule 2: the last residual towards the newest frame went OOB;
+          rule 3: the residuals towards the newest two frames both went
+                  OUTLIER (and the point still has >= 2 residuals).
+        Plus host-flagged frames (FullSystem.cpp:973 `|| host->flagged...`).
+        """
         s = self.s
         w = self.window
         p = w.pts
@@ -934,18 +985,27 @@ class FullSystem:
             [f.flagged_for_marg for f in w.frames] + [False] * (w.F - w.n_frames)
         )
         act = p.active
-        n_res = (p.r_exists & (p.r_state == RES_IN)).sum(axis=1)
-        drop = act & ((p.idepth < 0) | (p.r_exists.sum(axis=1) == 0))
-        oob_like = act & ~drop & flagged_hosts[p.host]
-        # the reference's isOOB also checks residual visibility in marg
-        # frames; host-flagged covers the dominant path.
-        newest = w.n_frames - 1
-        last_out = (
-            (p.r_state[:, newest] == RES_OOB)
-            | ((p.r_state[:, newest] == RES_OUTLIER)
-               & (p.r_state[:, max(newest - 1, 0)] == RES_OUTLIER))
-        ) & p.r_exists[:, newest]
-        oob_like |= act & ~drop & last_out & (p.r_exists.sum(axis=1) >= 2)
+        # residuals.size(): existing residual slots (dropped ones are gone)
+        n_res = p.r_exists.sum(axis=1)
+        drop = act & ((p.idepth < 0) | (n_res == 0))
+
+        vis_in_marg = (
+            p.r_exists & (p.r_state == RES_IN) & flagged_hosts[None, : w.F]
+        ).sum(axis=1)
+        rule1 = (
+            (n_res >= s.min_good_active_res_for_marg)
+            & (p.num_good_res > s.min_good_res_for_marg + 10)
+            & (n_res - vis_in_marg < s.min_good_active_res_for_marg)
+        )
+        rule2 = p.last_res_state[:, 0] == RES_OOB
+        rule3 = (
+            (n_res >= 2)
+            & (p.last_res_state[:, 0] == RES_OUTLIER)
+            & (p.last_res_state[:, 1] == RES_OUTLIER)
+        )
+        oob_like = act & ~drop & (
+            rule1 | rule2 | rule3 | flagged_hosts[p.host]
+        )
 
         is_inlier = (n_res >= s.min_good_active_res_for_marg) & (
             p.num_good_res >= s.min_good_res_for_marg

@@ -12,12 +12,18 @@ next frames' tracking exactly like the reference hides it behind the
 tracking thread.  Python threads suffice: the GIL is released inside the
 XLA dispatch where the time is spent.
 
-Semantics preserved:
-* the first two keyframes are processed synchronously (:1160-1171),
-* a queue deeper than 3 frames enables catch-up: non-keyframes are
-  dropped with pose-only bookkeeping (:1209-1230),
-* a pending keyframe request coalesces to the newest queued frame
-  (needNewKFAfter, :1232-1243).
+Semantics preserved (reference mappingLoop :1183-1252):
+* the first two tracked frames after initialization are guaranteed
+  keyframes (:1200-1208),
+* whenever MORE frames are queued behind the popped one, it becomes a
+  NON-keyframe regardless of its own flag -- keyframe requests coalesce
+  to the frame popped from an otherwise-empty queue (:1213-1247),
+* that frame becomes a keyframe iff a request arrived while tracking
+  against the current latest keyframe (needNewKFAfter = the request
+  frame's trackingRef id, compared to the latest KF id, :1171/:1236),
+* a queue deeper than 3 frames arms catch-up mode: after each
+  non-keyframe, one additional queued frame is dropped with pose-only
+  bookkeeping (:1210-1231).
 """
 
 from __future__ import annotations
@@ -61,9 +67,10 @@ class PipelinedSystem:
         if need_kf is None:
             return
         with self._cond:
-            self._queue.append((frame, need_kf))
-            if need_kf:
-                self._need_kf_after = frame["shell"].id
+            self._queue.append(frame)
+            if need_kf and frame["shell"].trackingRef is not None:
+                # needNewKFAfter = the tracking ref's id (:1171)
+                self._need_kf_after = frame["shell"].trackingRef.id
             self._cond.notify_all()
 
     def finish(self):
@@ -80,23 +87,40 @@ class PipelinedSystem:
     # -- mapping-thread side ----------------------------------------------
     def _mapping_loop(self):
         fs = self.fs
+        catchup = False
         while True:
             with self._cond:
                 while self._running and not self._queue:
                     self._cond.wait(0.05)
                 if not self._running and not self._queue:
                     return
-                frame, need_kf = self._queue.popleft()
+                frame = self._queue.popleft()
                 backlog = len(self._queue)
                 self._cond.notify_all()
             try:
-                if backlog > 3 and not need_kf:
-                    # catch-up: drop the frame, keep its pose (:1209-1230)
-                    fs.discard_frame(frame)
-                elif need_kf or self._need_kf_after >= fs.all_kf_shells[-1].id:
-                    fs.map_frame(frame, need_kf)
-                else:
+                if len(fs.all_kf_shells) <= 2:
+                    # guaranteed KF for the first tracked frames (:1200-1208)
+                    fs.map_frame(frame, True)
+                elif backlog > 0:
+                    # other frames queued: this one is a non-keyframe
+                    # (requests coalesce, :1213-1231)
+                    if backlog > 3:
+                        catchup = True
                     fs.map_frame(frame, False)
+                    if catchup:
+                        with self._cond:
+                            drop = self._queue.popleft() if self._queue else None
+                            self._cond.notify_all()
+                        if drop is not None:
+                            fs.discard_frame(drop)
+                else:
+                    # queue drained: keyframe iff a request arrived while
+                    # tracking against the current latest KF (:1236-1247)
+                    if self._need_kf_after >= fs.all_kf_shells[-1].id:
+                        fs.map_frame(frame, True)
+                        catchup = False
+                    else:
+                        fs.map_frame(frame, False)
             except Exception as e:  # surface mapping errors to the caller
                 self._error = e
                 with self._cond:

@@ -68,3 +68,57 @@ def test_multiseq_tracks_batch_of_sequences():
         ref_to_new = gts[b].inverse()  # ref pose is identity
         assert np.asarray(ok)[b]
         np.testing.assert_allclose(np.asarray(t)[b], ref_to_new.t, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_multiseq_system_end_to_end():
+    """8 synthetic sequences tracked end-to-end (windows + BA per sequence,
+    hypothesis-0 descent dp-sharded over the 8-device mesh); per-sequence
+    ATE must match the single-sequence quality bound."""
+    from nalo_slam_tpu.parallel import MultiSeqSystem
+    from nalo_slam_tpu.utils.evaluate import ate_rmse
+
+    B = 8
+    n = 14
+    calib = default_calib(240, 180, f=200.0)
+    mesh = make_mesh(dp=8, tp=1)
+    s = Settings(
+        max_window_frames=8, max_points=2048, max_immature_per_frame=512,
+        desired_point_density=500.0, desired_immature_density=400.0,
+        use_lidar=False, dense_track=False, plane_optimize=False,
+    )
+    scene = PlaneScene(calib, z0=3.0)
+
+    def gt_pose(b, k):
+        xi = np.array([
+            (0.05 + 0.002 * b) * k, 0.01 * np.sin(0.2 * k + 0.3 * b),
+            0.02 * k, 0.0, 0.004 * np.sin(0.15 * k), 0.0,
+        ])
+        return SE3.exp(xi)
+
+    rng = np.random.default_rng(11)
+    frames = [[None] * B for _ in range(n)]
+    for k in range(n):
+        for b in range(B):
+            img, _ = scene.render(gt_pose(b, k))
+            frames[k][b] = img + rng.normal(scale=1.2, size=img.shape).astype(np.float32)
+
+    ms = MultiSeqSystem(s, calib, B, mesh)
+    for k in range(n):
+        ms.add_frames(frames[k], timestamp=float(k), incoming_id=k)
+
+    n_ok = 0
+    for b, sysb in enumerate(ms.systems):
+        assert sysb.initialized, f"seq {b} never initialized"
+        assert not sysb.is_lost, f"seq {b} lost"
+        rows = sysb.trajectory()
+        est = {int(r[0]): np.array(r[1:4]) for r in rows}
+        ks = sorted(est.keys())
+        if len(ks) < 4:
+            continue
+        est_xyz = np.stack([est[k] for k in ks])
+        gt_xyz = np.stack([gt_pose(b, k).t for k in ks])
+        ate = ate_rmse(est_xyz, gt_xyz, with_scale=True)
+        assert ate < 0.06, f"seq {b}: ATE {ate:.4f} m"
+        n_ok += 1
+    assert n_ok >= 6
