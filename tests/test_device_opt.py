@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+# kernel-parity suite: meaningful on real TPU via -m axon (see conftest)
+pytestmark = pytest.mark.axon
+
 from nalo_slam_tpu.geometry import SE3
 from test_ba import build_window
 

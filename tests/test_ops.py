@@ -1,5 +1,9 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# kernel-parity suite: meaningful on real TPU via -m axon (see conftest)
+pytestmark = pytest.mark.axon
 
 from nalo_slam_tpu.ops import interp1, interp3, build_pyramid
 

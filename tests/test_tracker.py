@@ -3,6 +3,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# kernel-parity suite: meaningful on real TPU via -m axon (see conftest)
+pytestmark = pytest.mark.axon
+
 from nalo_slam_tpu.config import Settings
 from nalo_slam_tpu.geometry import SE3
 from nalo_slam_tpu.ops import build_pyramid
