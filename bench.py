@@ -52,6 +52,7 @@ def _run(settings, calib, frames, masks=None, warmup=20):
     from nalo_slam_tpu.system.pipeline import PipelinedSystem
 
     sys_ = FullSystem(settings, calib)
+    sys_.precompile()   # front-load compiles/cache-loads out of the run
     pipe = PipelinedSystem(sys_)
     t_steady = None
     n_fed = 0

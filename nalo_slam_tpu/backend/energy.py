@@ -996,6 +996,53 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     return rmse
 
 
+def _wo_precompile(self):
+    """Warm every per-KF device program on dummy (zero) inputs.
+
+    The first invocation of each compiled program costs seconds on the
+    bench device (XLA compile or persistent-cache load + executable
+    upload), and without this the costs land mid-run: the first frame
+    marginalization around the 6th keyframe, the first point
+    marginalization, the first full-window GN.  Paying them all at init
+    keeps multi-second stalls out of the steady-state frame loop.  All
+    shapes are fixed at construction, so zero inputs trace identically."""
+    F, P = self.F, self.P
+    n = CPARS + 8 * F
+    f32 = jnp.float32
+    if getattr(self, "_dev_opt", None) is None:
+        self._dev_opt = D.make_device_optimizer_fused(self.s, F, P)
+    inp = dict(
+        evalR=jnp.zeros((F, 3, 3), f32), evalt=jnp.zeros((F, 3), f32),
+        state_zero=jnp.zeros((F, 10), f32), exposures=jnp.ones(F, f32),
+        aff0_b=jnp.zeros(F, f32), frame_prior=jnp.zeros((F, 8), f32),
+        frame_valid=jnp.zeros(F, bool),
+        PRE_R0=jnp.zeros((F, F, 3, 3), f32), PRE_t0=jnp.zeros((F, F, 3), f32),
+        adH=jnp.zeros((F, F, 8, 8), f32), adT=jnp.zeros((F, F, 8, 8), f32),
+        HM=jnp.zeros((n, n), f32), bM=jnp.zeros(n, f32),
+        NNpiTS=jnp.zeros((n, n), f32),
+        calib_value=jnp.asarray(self.calib_value, f32),
+        calib_zero=jnp.asarray(self.calib_zero, f32),
+        c_prior=jnp.asarray(self.c_prior, f32),
+    )
+    out = self._dev_opt(
+        self.images, _wo_pack_pts(self), _wo_pack_res(self), self.jstore,
+        jnp.zeros((F, 10), f32), jnp.asarray(self.calib_value, f32),
+        jnp.zeros(F, f32), inp, jnp.int32(1), jnp.int32(0),
+    )
+    marg = D.make_marg_points(self.s, F, P)(
+        self.jstore, jnp.zeros((P, F), bool), jnp.asarray(self.pts.host),
+        jnp.zeros(P, f32), jnp.zeros((F, F, 8, 8), f32),
+        jnp.zeros((F, F, 8, 8), f32),
+    )
+    perm = jnp.asarray(list(range(F)))
+    js, im = _permute_stores(self.jstore, self.images, perm)
+    re_ = _permute_cols(jnp.zeros((P, F), f32), perm)
+    jax.block_until_ready((out, marg, js, im, re_))
+
+
+WindowOptimizer.precompile = _wo_precompile
+
+
 def _wo_sync_r_energy(self):
     if getattr(self, "_r_energy_dev", None) is not None:
         self.pts.r_energy = np.array(self._r_energy_dev)

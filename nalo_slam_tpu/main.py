@@ -82,6 +82,12 @@ def run(argv: list[str]) -> int:
     ckpt_path = extras.get("checkpoint")
     ckpt_every = int(extras.get("checkpoint_every", 0))
 
+    # front-load every XLA compile / cache-load (seconds each on first
+    # encounter; without this they stall the run at the first frame-marg
+    # keyframe and whenever an activation pad bucket is first hit)
+    if extras.get("precompile", "1") not in ("0", "", "false"):
+        sys_.precompile()
+
     runner = sys_
     pipelined = extras.get("pipelined", "0") not in ("0", "", "false")
     if pipelined:

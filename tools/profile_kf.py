@@ -54,6 +54,7 @@ def main():
         frames.append(img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
 
     sys_ = FullSystem(s, calib)
+    sys_.precompile()
     runner = PipelinedSystem(sys_) if pipelined else sys_
     frame_times = []
     for k, img in enumerate(frames):
@@ -67,6 +68,16 @@ def main():
 
     summ = sys_.metrics.summary()
     post = np.array(frame_times[20:])
+    print("per-frame ms:", [round(1000*t, 1) for t in frame_times])
+    kf_stages = list(sys_.metrics.kf_stage_ms)
+    print("KF totals ms:", [round(d.get("total", 0), 1) for d in kf_stages])
+    for i, d in enumerate(kf_stages):
+        print(f"  KF{i}:", {k: round(v,1) for k,v in sorted(d.items()) if v > 1})
+    import collections
+    agg = collections.defaultdict(list)
+    for d in kf_stages:
+        for k, v in d.items(): agg[k].append(v)
+    print("KF stage max:", {k: round(max(v),1) for k,v in sorted(agg.items())})
     print(json.dumps({
         "platform": jax.devices()[0].platform,
         "pipelined": pipelined,
