@@ -96,8 +96,12 @@ class WindowOptimizer:
         self.c_prior = np.full(CPARS, settings.initial_calib_hessian) / np.array(
             [_S2_F, _S2_F, _S2_C, _S2_C]
         )
-        self.HM = np.zeros((CPARS, CPARS))
-        self.bM = np.zeros(CPARS)
+        self._HM = np.zeros((CPARS, CPARS))
+        self._bM = np.zeros(CPARS)
+        # point-marg results whose D2H pull has been deferred: list of
+        # (device flat, fold-in dim at call time); resolved lazily on the
+        # next HM/bM read so the keyframe path never blocks on the pull
+        self._pending_marg: list = []
         self.images = jnp.zeros((self.F, self.H_img, self.W_img, 3), jnp.float32)
         self.jstore = self._empty_jstore()
         self.ad_host = np.zeros((self.F, self.F, 8, 8))
@@ -708,29 +712,64 @@ class WindowOptimizer:
         # stay f64 on the host
         mask = p.r_exists & p.r_active & sel[:, None]
         fn = D.make_marg_points(s, self.F, self.P)
-        flat = np.asarray(fn(
+        flat_dev = fn(
             self.jstore, jnp.asarray(mask), jnp.asarray(p.host),
             jnp.asarray(p.prior, jnp.float32),
             jnp.asarray(self.ad_host, jnp.float32),
             jnp.asarray(self.ad_target, jnp.float32),
-        ), np.float64)
-        n_full = CPARS + 8 * self.F
-        Hfull = flat[: n_full * n_full].reshape(n_full, n_full)
-        Hfull = 0.5 * (Hfull + Hfull.T)  # strip f32 stitch asymmetry
-        bfull = flat[n_full * n_full :]
-        n = CPARS + self.n_frames * 8
-        self.HM, self.bM = self._grow_hm(n)
-        self.HM[:n, :n] += s.marg_weight_fac * Hfull[:n, :n]
-        self.bM[:n] += s.marg_weight_fac * bfull[:n]
+        )
+        # defer the D2H pull: the fold into HM/bM is additive and nothing
+        # reads HM/bM until the next keyframe's GN (or a frame marg, which
+        # resolves first through the HM property) -- so the mapping thread
+        # does not block here
+        self._pending_marg.append((flat_dev, CPARS + self.n_frames * 8))
         self.pts.remove(np.nonzero(sel)[0])
 
-    def _grow_hm(self, n):
+    # -- HM/bM: lazily fold deferred point-marg pulls on first read -------
+    @property
+    def HM(self):
+        self._resolve_pending_marg()
+        return self._HM
+
+    @HM.setter
+    def HM(self, v):
+        self._HM = v
+
+    @property
+    def bM(self):
+        self._resolve_pending_marg()
+        return self._bM
+
+    @bM.setter
+    def bM(self, v):
+        self._bM = v
+
+    def _resolve_pending_marg(self):
+        if not self._pending_marg:
+            return
+        pend, self._pending_marg = self._pending_marg, []
+        s = self.s
+        n_full = CPARS + 8 * self.F
+        for flat_dev, n in pend:
+            flat = np.asarray(flat_dev, np.float64)
+            Hfull = flat[: n_full * n_full].reshape(n_full, n_full)
+            Hfull = 0.5 * (Hfull + Hfull.T)  # strip f32 stitch asymmetry
+            bfull = flat[n_full * n_full :]
+            self._HM, self._bM = self._grow_hm_raw(n)
+            self._HM[:n, :n] += s.marg_weight_fac * Hfull[:n, :n]
+            self._bM[:n] += s.marg_weight_fac * bfull[:n]
+
+    def _grow_hm_raw(self, n):
         HM = np.zeros((n, n))
         bM = np.zeros(n)
-        m = min(n, self.HM.shape[0])
-        HM[:m, :m] = self.HM[:m, :m]
-        bM[:m] = self.bM[:m]
+        m = min(n, self._HM.shape[0])
+        HM[:m, :m] = self._HM[:m, :m]
+        bM[:m] = self._bM[:m]
         return HM, bM
+
+    def _grow_hm(self, n):
+        self._resolve_pending_marg()
+        return self._grow_hm_raw(n)
 
     def insert_frame_hm(self):
         """Extend HM/bM by 8 zero rows/cols for a newly inserted frame."""

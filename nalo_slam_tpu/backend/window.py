@@ -50,15 +50,28 @@ class FrameState:
         self.nullspaces_pose = np.zeros((6, 6))
         self.nullspaces_scale = np.zeros(6)
         self.nullspaces_affine = np.zeros((4, 2))
+        self._pre_cache = None
 
     # -- state access (reference HessianBlocks.h:188-242, real units) ------
+    # PRE_* are pure functions of (state, worldToCam_evalPT), both of which
+    # change only through set_state/set_eval_pt -- cached because the
+    # orchestrator reads them ~50x per frame (measured 0.8 s / 40 frames
+    # recomputing the exp+inverse on every access)
     @property
     def PRE_worldToCam(self) -> SE3:
-        return SE3.exp(self.state[:6]) * self.worldToCam_evalPT
+        c = self._pre_cache
+        if c is None:
+            w2c = SE3.exp(self.state[:6]) * self.worldToCam_evalPT
+            self._pre_cache = c = (w2c, w2c.inverse())
+        return c[0]
 
     @property
     def PRE_camToWorld(self) -> SE3:
-        return self.PRE_worldToCam.inverse()
+        c = self._pre_cache
+        if c is None:
+            w2c = SE3.exp(self.state[:6]) * self.worldToCam_evalPT
+            self._pre_cache = c = (w2c, w2c.inverse())
+        return c[1]
 
     def aff_g2l(self):
         return self.state[6], self.state[7]
@@ -74,9 +87,11 @@ class FrameState:
 
     def set_state(self, state):
         self.state = np.asarray(state, np.float64).copy()
+        self._pre_cache = None
 
     def set_eval_pt(self, worldToCam: SE3, state):
         self.worldToCam_evalPT = worldToCam.copy()
+        self._pre_cache = None
         self.set_state(state)
         self.set_state_zero(np.asarray(state, np.float64).copy())
 
