@@ -240,8 +240,7 @@ def trace_points(
     return idepth_min_out, idepth_max_out, out_state, quality_out, pixel_interval, last_u, last_v
 
 
-@partial(jax.jit, static_argnames=("iters", "huber_th", "w_img", "h_img"))
-def activate_points(
+def _activate_core(
     images,                        # (F, H, W, 3)
     u, v, color, weights,          # (N,), (N,8), (N,8)
     idepth_init,                   # (N,)
@@ -255,7 +254,7 @@ def activate_points(
 ):
     """Batched optimizeImmaturePoint: idepth-only LM over all other frames.
 
-    Returns idepth (N,), ok (N,), res_good (N, F) -- per-target IN flags.
+    Returns packed (N, 2+F): [idepth | ok | per-target IN flags].
     """
     fx, fy, cx, cy = calib[0], calib[1], calib[2], calib[3]
     F = images.shape[0]
@@ -343,6 +342,10 @@ def activate_points(
     return packed
 
 
+activate_points = partial(jax.jit, static_argnames=(
+    "iters", "huber_th", "w_img", "h_img"))(_activate_core)
+
+
 def distance_map(point_u, point_v, valid, h1, w1, iters=40):
     """Chebyshev-ish BFS distance transform on the half-res grid
     (reference CoarseDistanceMap :1410-1552), as iterated min-pool."""
@@ -380,6 +383,7 @@ def empty_device_state(F: int, M: int):
         color=jnp.zeros((N, 8), jnp.float32), weights=jnp.zeros((N, 8), jnp.float32),
         gradH=jnp.zeros((N, 2, 2), jnp.float32),
         energy_th=jnp.zeros(N, jnp.float32),
+        my_type=jnp.ones(N, jnp.float32),
         valid=jnp.zeros(N, bool),
     )
     trace = dict(
@@ -472,21 +476,15 @@ def make_immature_data_packed(dI, u, v):
     )
 
 
-@partial(jax.jit, static_argnames=("F", "M", "C", "h1", "w1", "iters"))
-def activation_prep2(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
-                     KRKi1, Kt1, flagged, newest, min_trace_quality,
-                     F: int, M: int, C: int, h1: int, w1: int,
-                     iters: int = 40):
-    """Fused activatePointsMT prep (reference FullSystem.cpp:764-934):
-    candidate gating, dead/OOB deletion, level-1 projection AND the BFS
-    distance map, compacted into ONE flat pull:
-
-      [n_cand | valid(F*M) | slot(C) | uu(C) | vv(C) | id0(C) | d0(C)]
-
-    d0 is the distance-map gate value per candidate (dmap[v,u] + frac(u)),
-    evaluated on device so the full map never crosses the link.  The
-    returned valid already reflects dead/OOB deletion and the flagged-host
-    filter; the host adopts it wholesale."""
+def _activation_prep_core(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
+                          KRKi1, Kt1, flagged, newest, min_trace_quality,
+                          F: int, M: int, C: int, h1: int, w1: int,
+                          iters: int = 40):
+    """activatePointsMT prep (reference FullSystem.cpp:764-934): candidate
+    gating, dead/OOB deletion, level-1 projection and the BFS distance
+    map.  Returns (n_cand, v4, cslot, cu, cv, idc_o, d0): the post-delete
+    valid mask and the compacted candidate arrays (slot order, which the
+    greedy spacing depends on); d0 is the distance-map gate value."""
     slot_host = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
     upd = (slot_host != newest) & (slot_host < F)
     iv = static["valid"]
@@ -544,11 +542,119 @@ def activation_prep2(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
     d0 = (d[jnp.clip(cv.astype(jnp.int32), 0, h1 - 1),
             jnp.clip(cu.astype(jnp.int32), 0, w1 - 1)]
           + (cu - jnp.floor(cu)))
+    return n_cand, v4, cslot, cu, cv, idc[order], d0
+
+
+@partial(jax.jit, static_argnames=("F", "M", "C", "h1", "w1", "iters"))
+def activation_prep2(static, trace, p_u, p_v, p_idepth, p_host, p_valid,
+                     KRKi1, Kt1, flagged, newest, min_trace_quality,
+                     F: int, M: int, C: int, h1: int, w1: int,
+                     iters: int = 40):
+    """One-flat-pull wrapper of _activation_prep_core:
+    [n_cand | valid(F*M) | slot(C) | uu(C) | vv(C) | id0(C) | d0(C)]."""
+    n_cand, v4, cslot, cu, cv, idc_o, d0 = _activation_prep_core(
+        static, trace, p_u, p_v, p_idepth, p_host, p_valid,
+        KRKi1, Kt1, flagged, newest, min_trace_quality,
+        F=F, M=M, C=C, h1=h1, w1=w1, iters=iters)
     flat = jnp.concatenate([
         n_cand[None], v4.astype(jnp.float32),
-        cslot, cu, cv, idc[order], d0,
+        cslot, cu, cv, idc_o, d0,
     ])
     return flat
+
+
+@partial(jax.jit,
+         static_argnames=("F", "M", "C", "A", "h1", "w1", "dm_iters",
+                          "iters", "huber_th", "w_img", "h_img"))
+def activation_run(static, trace, images,
+                   p_u, p_v, p_idepth, p_host, p_valid,
+                   KRKi1, Kt1, flagged, newest, min_trace_quality,
+                   min_act_dist,
+                   PRE_R, PRE_t, PRE_aff, f_act, calib, min_idepth_h_act,
+                   F: int, M: int, C: int, A: int, h1: int, w1: int,
+                   dm_iters: int, iters: int, huber_th: float,
+                   w_img: int, h_img: int):
+    """The ENTIRE activatePointsMT as one device program with one pull
+    (reference FullSystem.cpp:764-934 + FullSystemOptPoint.cpp): candidate
+    gating + distance map (_activation_prep_core), the greedy spacing loop
+    (previously host-side -- a sequential lax loop over the candidates in
+    slot order, exact reference semantics), gather of the accepted slots'
+    static data from the device store, and the batched idepth LM.
+
+    Also consumes the optimized candidates' valid bits on device, so the
+    host adopts the returned mask with no write-back dispatch.
+
+    Returns (flat, new_valid):
+      flat = [n_cand, n_acc | valid(F*M) | slot(A) | packed(A*(2+F))]
+      new_valid = the same post-consumption valid mask, device-resident.
+    The static data of the accepted slots (u, v, color, ...) is NOT
+    returned: the host keeps byte-identical mirrors in its ImmatureStores
+    and gathers by slot id.
+    """
+    n_cand, v4, cslot, cu, cv, idc_o, d0 = _activation_prep_core(
+        static, trace, p_u, p_v, p_idepth, p_host, p_valid,
+        KRKi1, Kt1, flagged, newest, min_trace_quality,
+        F=F, M=M, C=C, h1=h1, w1=w1, iters=dm_iters)
+
+    kvalid = cslot >= 0
+    sidx_c = jnp.clip(cslot.astype(jnp.int32), 0, F * M - 1)
+    need = jnp.where(kvalid, min_act_dist * static["my_type"][sidx_c], jnp.inf)
+    ui = jnp.clip(cu.astype(jnp.int32), 0, w1 - 1)
+    vi = jnp.clip(cv.astype(jnp.int32), 0, h1 - 1)
+    pass_d = kvalid & (d0 >= need)
+
+    # greedy occupancy spacing, candidate (slot) order -- identical to the
+    # reference host loop.  Grid padded by 4 on each side so the 9x9
+    # chevron patch never clips (center (y,x) -> padded (y+4, x+4)).
+    chev = jnp.maximum(
+        jnp.abs(jnp.arange(9) - 4)[:, None],
+        jnp.abs(jnp.arange(9) - 4)[None, :]).astype(jnp.float32)
+
+    def body(k, carry):
+        occ, acc = carry
+        y, x = vi[k], ui[k]
+        ok = pass_d[k] & (occ[y + 4, x + 4] >= need[k])
+        patch = jax.lax.dynamic_slice(occ, (y, x), (9, 9))
+        occ = jax.lax.cond(
+            ok,
+            lambda o: jax.lax.dynamic_update_slice(
+                o, jnp.minimum(patch, chev), (y, x)),
+            lambda o: o, occ)
+        return occ, acc.at[k].set(ok)
+
+    n_loop = jnp.minimum(n_cand.astype(jnp.int32), C)
+    occ0 = jnp.full((h1 + 8, w1 + 8), 1e4, jnp.float32)
+    _, acc = jax.lax.fori_loop(0, n_loop, body, (occ0, jnp.zeros(C, bool)))
+    n_acc = jnp.sum(acc).astype(jnp.float32)
+
+    # compact accepted candidates to A slots and gather their static data
+    aorder = jnp.argsort(~acc, stable=True)[:A]
+    asel = acc[aorder]
+    slot_a = jnp.where(asel, cslot[aorder], -1.0)
+    sidx = jnp.clip(slot_a.astype(jnp.int32), 0, F * M - 1)
+    u_a = static["u"][sidx]
+    v_a = static["v"][sidx]
+    col_a = static["color"][sidx]
+    wgt_a = static["weights"][sidx]
+    eth_a = static["energy_th"][sidx]
+    id0_a = idc_o[aorder]
+    host_a = sidx // M
+
+    packed = _activate_core(
+        images, u_a, v_a, col_a, wgt_a, id0_a, host_a, eth_a,
+        PRE_R, PRE_t, PRE_aff, f_act, calib, min_idepth_h_act,
+        iters=iters, huber_th=huber_th, w_img=w_img, h_img=h_img)
+    packed = jnp.where(asel[:, None], packed, 0.0)
+
+    # consume the optimized candidates (activated or failed) on device
+    acc_slots = jnp.where(acc, cslot.astype(jnp.int32), F * M)
+    v5 = v4.at[acc_slots].set(False, mode="drop")
+
+    flat = jnp.concatenate([
+        n_cand[None], n_acc[None], v5.astype(jnp.float32),
+        slot_a, packed.reshape(-1),
+    ])
+    return flat, v5
 
 
 @partial(jax.jit, static_argnames=("h1", "w1", "iters"))

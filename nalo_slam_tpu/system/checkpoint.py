@@ -186,7 +186,8 @@ def load_checkpoint(path: str, system) -> None:
     system.imm_static = dict(
         u=flat("u"), v=flat("v"), color=flat("color"),
         weights=flat("weights"), gradH=flat("gradH"),
-        energy_th=flat("energy_th"), valid=flat("valid"),
+        energy_th=flat("energy_th"), my_type=flat("my_type"),
+        valid=flat("valid"),
     )
     system.imm_trace = dict(
         idepth_min=flat("idepth_min"), idepth_max=flat("idepth_max"),

@@ -218,35 +218,28 @@ class FullSystem:
             jnp.zeros((F, 2), f32), s.max_pix_search,
             huber_th=s.huber_th, w_img=w0, h_img=h0, F=F, M=M,
             n_steps=imm.n_steps_for(w0, h0, s.max_pix_search)))
-        outs.append(imm.activation_prep2(
-            self.imm_static, self.imm_trace,
+        # the fused single-call activation (prep + greedy + idepth LM)
+        out_act = imm.activation_run(
+            self.imm_static, self.imm_trace, self.window.images,
             jnp.zeros(P, f32), jnp.zeros(P, f32), jnp.zeros(P, f32),
             jnp.zeros(P, jnp.int32), jnp.zeros(P, bool),
             jnp.zeros((F, 3, 3), f32), jnp.zeros((F, 3), f32),
             jnp.zeros(F, bool), jnp.int32(0),
-            s.min_trace_quality, F=F, M=M, C=4096, h1=h1, w1=w1))
-        # activation idepth-LM: every pad bucket _activate_points can emit
-        pad = 512
-        while pad <= 4096:
-            outs.append(imm.activate_points(
-                self.window.images,
-                jnp.zeros(pad, f32), jnp.zeros(pad, f32),
-                jnp.zeros((pad, 8), f32), jnp.zeros((pad, 8), f32),
-                jnp.zeros(pad, f32), jnp.zeros(pad, jnp.int32),
-                jnp.zeros(pad, f32),
-                jnp.zeros((F, F, 3, 3), f32), jnp.zeros((F, F, 3), f32),
-                jnp.zeros((F, F, 2), f32), jnp.zeros(F, bool),
-                jnp.asarray(self.window.calib_value, f32), s.min_idepth_h_act,
-                iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
-                w_img=w0, h_img=h0))
-            pad *= 2
+            s.min_trace_quality, jnp.float32(2.0),
+            jnp.zeros((F, F, 3, 3), f32), jnp.zeros((F, F, 3), f32),
+            jnp.zeros((F, F, 2), f32), jnp.zeros(F, bool),
+            jnp.asarray(self.window.calib_value, f32), s.min_idepth_h_act,
+            F=F, M=M, C=4096, A=2048, h1=h1, w1=w1, dm_iters=40,
+            iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
+            w_img=w0, h_img=h0)
+        outs.append(out_act[0])
         # immature-store maintenance programs
         st = ImmatureStore(M)
         new_static = dict(
             u=jnp.asarray(st.u), v=jnp.asarray(st.v),
             color=jnp.asarray(st.color), weights=jnp.asarray(st.weights),
             gradH=jnp.asarray(st.gradH), energy_th=jnp.asarray(st.energy_th),
-            valid=jnp.asarray(st.valid))
+            my_type=jnp.asarray(st.my_type), valid=jnp.asarray(st.valid))
         new_trace = dict(
             idepth_min=jnp.asarray(st.idepth_min),
             idepth_max=jnp.asarray(st.idepth_max),
@@ -292,8 +285,12 @@ class FullSystem:
         self.all_shells.append(shell)
         self.statistics["n_frames"] += 1
         image = np.asarray(image, np.float32)
+        # push the image as f16: halves the per-frame H2D bytes on the
+        # link; build_pyramid casts back to f32 on device.  Quantization
+        # (<=0.125 grey levels below 256) is far under the sensor noise.
         dIs, absgrads = build_pyramid(
-            jnp.asarray(image), self.calib.levels, self.gamma_b_grad
+            jnp.asarray(image.astype(np.float16)), self.calib.levels,
+            self.gamma_b_grad
         )
         return dict(shell=shell, dIs=dIs, absgrads=absgrads, image=image,
                     exposure=exposure, mask=mask, bgr=bgr)
@@ -877,10 +874,11 @@ class FullSystem:
         newest = nf - 1
         c = self.calib
 
-        # ONE device call + ONE flat pull: candidate gating, dead/OOB
-        # deletion, level-1 projection, compaction AND the distance map all
-        # happen on device (activation_prep2); the host only runs the
-        # greedy spacing and uploads the accepted slot list
+        # The ENTIRE activation runs as ONE device call + ONE flat pull
+        # (imm.activation_run): candidate gating, dead/OOB deletion,
+        # distance map, the greedy spacing loop, the accepted slots'
+        # static-data gather, the batched idepth LM, and the valid-bit
+        # consumption.  The host only inserts the accepted points.
         M = self.s.max_immature_per_frame
         Fd = w.F
         KRKi1 = np.zeros((Fd, 3, 3), np.float32)
@@ -895,86 +893,6 @@ class FullSystem:
         flagged = np.zeros(Fd, bool)
         for hh in range(nf):
             flagged[hh] = w.frames[hh].flagged_for_marg
-        C = 4096
-        flat = np.asarray(imm.activation_prep2(
-            self.imm_static, self.imm_trace,
-            jnp.asarray(p.u), jnp.asarray(p.v), jnp.asarray(p.idepth),
-            jnp.asarray(p.host), jnp.asarray(m_in),
-            jnp.asarray(KRKi1), jnp.asarray(Kt1f),
-            jnp.asarray(flagged), jnp.int32(newest),
-            s.min_trace_quality, F=Fd, M=M, C=C, h1=h1, w1=w1,
-        ))
-        o = 1
-        n_cand = min(int(flat[0]), C)
-        validf = flat[o:o + Fd * M] > 0.5
-        o += Fd * M
-        cslot = flat[o:o + C].astype(np.int64); o += C
-        cuu = flat[o:o + C]; o += C
-        cvv = flat[o:o + C]; o += C
-        cid0 = flat[o:o + C]; o += C
-        cd0 = flat[o:o + C]
-        # adopt the device-side deletions (dead / OOB / flagged-host filter)
-        for h in range(nf):
-            self.immatures[h].valid = validf[h * M:(h + 1) * M].copy()
-        if n_cand == 0:
-            self._push_imm_valid()
-            return
-
-        # greedy spacing: existing-point distance + candidate-candidate
-        # thinning (reference activatePointsMT's dist-map gate).  The
-        # dmap gate is evaluated vectorized; only survivors enter the
-        # (inherently sequential) occupancy loop.
-        ks = cslot[:n_cand]
-        kvalid = ks >= 0
-        h_arr = (ks // M).astype(np.int64)
-        j_arr = (ks % M).astype(np.int64)
-        my_type_f = np.stack([st.my_type for st in self.immatures])
-        need_a = np.where(
-            kvalid,
-            self.current_min_act_dist
-            * my_type_f[np.clip(h_arr, 0, nf - 1), np.clip(j_arr, 0, M - 1)],
-            np.inf,
-        )
-        ui_a = cuu[:n_cand]
-        vi_a = cvv[:n_cand]
-        uii = np.clip(ui_a.astype(np.int64), 0, w1 - 1)
-        vii = np.clip(vi_a.astype(np.int64), 0, h1 - 1)
-        d0_a = cd0[:n_cand]   # device-evaluated dmap gate value
-        survivors = np.nonzero(kvalid & (d0_a >= need_a))[0]
-
-        accepted = []   # candidate indices into the prep arrays
-        occ = np.full((h1, w1), 1e4, np.float32)
-        for k in survivors:
-            iu, iv = uii[k], vii[k]
-            if occ[iv, iu] >= need_a[k]:
-                accepted.append(k)
-                yy0 = max(iv - 4, 0); yy1 = min(iv + 5, h1)
-                xx0 = max(iu - 4, 0); xx1 = min(iu + 5, w1)
-                yy, xx = np.mgrid[yy0:yy1, xx0:xx1]
-                chev = np.maximum(np.abs(yy - iv), np.abs(xx - iu))
-                occ[yy0:yy1, xx0:xx1] = np.minimum(occ[yy0:yy1, xx0:xx1], chev)
-
-        if not accepted:
-            self._push_imm_valid()
-            return
-        # batched idepth optimization -- gather accepted data vectorized
-        # from the host immature stores
-        acc = np.asarray(accepted[:C])
-        N = len(acc)
-        hosts = h_arr[acc].astype(np.int32)
-        jj = j_arr[acc]
-        imm_u = np.stack([st.u for st in self.immatures])
-        imm_v = np.stack([st.v for st in self.immatures])
-        imm_col = np.stack([st.color for st in self.immatures])
-        imm_wgt = np.stack([st.weights for st in self.immatures])
-        imm_eth = np.stack([st.energy_th for st in self.immatures])
-        u = imm_u[hosts, jj]
-        v = imm_v[hosts, jj]
-        col = imm_col[hosts, jj]
-        wgt = imm_wgt[hosts, jj]
-        eth = imm_eth[hosts, jj]
-        id0 = cid0[acc].astype(np.float32)
-
         F = w.F
         PRE_R = np.zeros((F, F, 3, 3), np.float32)
         PRE_t = np.zeros((F, F, 3), np.float32)
@@ -990,42 +908,67 @@ class FullSystem:
                                                  host.aff_g2l(), target.aff_g2l())
         f_act = np.zeros(F, bool)
         f_act[:nf] = True
-
-        # pad to a power-of-two bucket: bounds distinct compiled shapes of
-        # the activation kernel to 4 (a fresh pad size = a fresh XLA compile)
-        pad = 512
-        while pad < N:
-            pad *= 2
-        def padded(a, fill=0):
-            out = np.full((pad,) + a.shape[1:], fill, a.dtype)
-            out[:N] = a
-            return out
-
-        packed_act = np.asarray(imm.activate_points(
-            w.images,
-            jnp.asarray(padded(u)), jnp.asarray(padded(v)),
-            jnp.asarray(padded(col)), jnp.asarray(padded(wgt)),
-            jnp.asarray(padded(id0)), jnp.asarray(padded(hosts)),
-            jnp.asarray(padded(eth)),
+        C, A = 4096, 2048
+        flat_dev, new_valid = imm.activation_run(
+            self.imm_static, self.imm_trace, w.images,
+            jnp.asarray(p.u), jnp.asarray(p.v), jnp.asarray(p.idepth),
+            jnp.asarray(p.host), jnp.asarray(m_in),
+            jnp.asarray(KRKi1), jnp.asarray(Kt1f),
+            jnp.asarray(flagged), jnp.int32(newest),
+            s.min_trace_quality, jnp.float32(self.current_min_act_dist),
             jnp.asarray(PRE_R), jnp.asarray(PRE_t), jnp.asarray(PRE_aff),
             jnp.asarray(f_act), jnp.asarray(w.calib_value, jnp.float32),
-            self.s.min_idepth_h_act,
-            iters=self.s.gn_its_on_point_activation,
-            huber_th=self.s.huber_th, w_img=self.calib.w[0], h_img=self.calib.h[0],
-        ))[:N]
-        idepth = packed_act[:, 0]
-        ok = packed_act[:, 1] > 0.5
-        res_in = packed_act[:, 2:] > 0.5
+            s.min_idepth_h_act,
+            F=Fd, M=M, C=C, A=A, h1=h1, w1=w1, dm_iters=40,
+            iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
+            w_img=self.calib.w[0], h_img=self.calib.h[0],
+        )
+        # the device store's valid bits are already consumed; adopt the
+        # returned array without a write-back dispatch
+        self.imm_static = dict(self.imm_static, valid=new_valid)
+        flat = np.asarray(flat_dev)
+        o = 2
+        n_acc = min(int(flat[1]), A)
+        validf = flat[o:o + Fd * M] > 0.5
+        o += Fd * M
+        slot_a = flat[o:o + A].astype(np.int64); o += A
+        packed_act = flat[o:o + A * (2 + F)].reshape(A, 2 + F)
+        # adopt the device-side deletions + consumption wholesale
+        for h in range(nf):
+            self.immatures[h].valid = validf[h * M:(h + 1) * M].copy()
+        if n_acc == 0:
+            return
+
+        sel = slice(0, n_acc)
+        hosts = (slot_a[sel] // M).astype(np.int32)
+        jj = (slot_a[sel] % M).astype(np.int64)
+        idepth = packed_act[sel, 0].astype(np.float32)
+        ok = packed_act[sel, 1] > 0.5
+        res_in = packed_act[sel, 2:] > 0.5
+        # static data of the accepted slots from the host mirrors (byte
+        # identical to the device store the LM read from)
+        imm_u = np.stack([st.u for st in self.immatures])
+        imm_v = np.stack([st.v for st in self.immatures])
+        imm_col = np.stack([st.color for st in self.immatures])
+        imm_wgt = np.stack([st.weights for st in self.immatures])
+        imm_eth = np.stack([st.energy_th for st in self.immatures])
+        imm_mty = np.stack([st.my_type for st in self.immatures])
+        hc = np.clip(hosts, 0, nf - 1)
+        u_a = imm_u[hc, jj]
+        v_a = imm_v[hc, jj]
+        col_a = imm_col[hc, jj]
+        wgt_a = imm_wgt[hc, jj]
+        eth_a = imm_eth[hc, jj]
+        mty_a = imm_mty[hc, jj]
 
         # insert activated points (batched per host, residuals per target)
-        my_t_all = my_type_f[hosts, jj].astype(np.float32)
         for hh in range(nf):
             m = ok & (hosts == hh)
             if not m.any():
                 continue
             slots = w.insert_points(
-                hh, u[m], v[m], col[m], wgt[m], idepth[m], eth[m],
-                my_type=my_t_all[m],
+                hh, u_a[m], v_a[m], col_a[m], wgt_a[m],
+                idepth[m], eth_a[m], my_type=mty_a[m],
             )
             tgt_lists = res_in[m][: len(slots)]
             for tt in range(nf):
@@ -1043,10 +986,6 @@ class FullSystem:
                 elif tt == nf - 2:
                     p.last_res_state[tsel, 1] = RES_IN
             self.statistics["n_points_activated"] += len(slots)
-        # consume immature points that were optimized (activated or failed)
-        for h, st in enumerate(self.immatures):
-            st.valid[jj[hosts == h]] = False
-        self._push_imm_valid()
 
     # ------------------------------------------------------------------
     def _remove_outliers(self):
@@ -1250,7 +1189,7 @@ class FullSystem:
             u=jnp.asarray(st.u), v=jnp.asarray(st.v),
             color=jnp.asarray(st.color), weights=jnp.asarray(st.weights),
             gradH=jnp.asarray(st.gradH), energy_th=jnp.asarray(st.energy_th),
-            valid=jnp.asarray(st.valid),
+            my_type=jnp.asarray(st.my_type), valid=jnp.asarray(st.valid),
         )
         new_trace = dict(
             idepth_min=jnp.asarray(st.idepth_min),
