@@ -180,6 +180,9 @@ class FullSystem:
         self.shell_lock = threading.Lock()
         self.window.shell_lock = self.shell_lock
         self._marg_points: dict = {}   # kf frame_id -> [(n,3) u,v,idepth]
+        # deferred immature-trace dispatch (see flush_pending_trace)
+        self._pending_trace = None
+        self._trace_dispatch_lock = threading.Lock()
         # NALO extensions: ground/scale state, per-KF masks, dense maps
         self.ground_state = GroundState()
         self.global_plane = GlobalPlane()
@@ -543,11 +546,16 @@ class FullSystem:
         # when it beats 1.5x the previous RMSE)
         if packed0 is None:
             R0, t0 = tries[0].Rt32()
-            packed = np.asarray(self._run_track(
+            out = self._run_track(
                 jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(aff0), frame["dIs"], False,
                 ref=ref,
-            ))
+            )
+            # the deferred trace slots in BEHIND the descent, so the pull
+            # below never waits on the epipolar-search kernel
+            self.flush_pending_trace()
+            packed = np.asarray(out)
         else:
+            self.flush_pending_trace()
             packed = np.asarray(packed0)
         R, t, ab, res, flow, ok = self._unpack_track(packed)
         best = (R.astype(np.float64), t.astype(np.float64),
@@ -609,11 +617,11 @@ class FullSystem:
     # ==================================================================
     # Immature tracing (traceNewCoarse :702)
     # ==================================================================
-    def _trace_new_coarse(self, frame):
+    def _trace_args(self, frame):
         nf = self.window.n_frames
         if nf == 0:
-            return
-        F, M = self.window.F, self.s.max_immature_per_frame
+            return None
+        F = self.window.F
         c = self.calib
         Km = c.K[0]
         Ki = c.Ki[0]
@@ -628,15 +636,45 @@ class FullSystem:
             Kt[h] = Km @ h2n.t
             affs[h] = self._aff_pair(host.ab_exposure, frame["exposure"],
                                      host.aff_g2l(), frame["shell"].aff_g2l)
+        return frame["dIs"][0], KRKi, Kt, affs
 
+    def _dispatch_trace(self, args):
+        if args is None:
+            return
+        dI0, KRKi, Kt, affs = args
+        c = self.calib
+        F, M = self.window.F, self.s.max_immature_per_frame
         self.imm_trace = imm.trace_update(
-            self.imm_static, self.imm_trace, frame["dIs"][0],
+            self.imm_static, self.imm_trace, dI0,
             jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affs),
             self.s.max_pix_search,
             huber_th=self.s.huber_th, w_img=c.w[0], h_img=c.h[0],
             F=F, M=M,
             n_steps=imm.n_steps_for(c.w[0], c.h[0], self.s.max_pix_search),
         )
+
+    def flush_pending_trace(self):
+        """Dispatch a deferred trace update NOW (called right after the
+        next frame's descent dispatch, and before anything reads
+        imm_trace).  Deferral keeps the ~40 ms real-data epipolar-search
+        kernel out of the device FIFO ahead of the latency-critical
+        tracking descent -- it executes during host post-processing
+        instead."""
+        with self._trace_dispatch_lock:
+            args = self._pending_trace
+            self._pending_trace = None
+            self._dispatch_trace(args)
+
+    def _trace_new_coarse(self, frame, defer: bool = False):
+        with self._trace_dispatch_lock:
+            args0 = self._pending_trace
+            self._pending_trace = None
+            self._dispatch_trace(args0)
+            args = self._trace_args(frame)
+            if defer:
+                self._pending_trace = args
+            else:
+                self._dispatch_trace(args)
 
     # ==================================================================
     # Keyframe pipeline (makeKeyFrame :1279)
@@ -793,7 +831,7 @@ class FullSystem:
         with self.shell_lock:
             if shell.trackingRef is not None:
                 shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
-        self._trace_new_coarse(frame)
+        self._trace_new_coarse(frame, defer=True)
 
     # ------------------------------------------------------------------
     def _flag_frames_for_marginalization(self):
@@ -1121,6 +1159,7 @@ class FullSystem:
         The hot path never needs this (activation gates on device); the
         dense mapper and checkpointing do."""
         M = self.s.max_immature_per_frame
+        self.flush_pending_trace()
         packed = np.asarray(imm.pack_for_host(self.imm_static, self.imm_trace))
         for h, st in enumerate(self.immatures):
             sl = packed[h * M:(h + 1) * M]
