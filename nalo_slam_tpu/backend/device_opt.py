@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import CPARS, SCALE_A, SCALE_B, SCALE_XI_TRANS
 from ..geometry import lie
@@ -508,6 +509,70 @@ def make_marg_points(settings, F: int, P: int):
 _FUSED_CACHE: dict = {}
 
 
+def gn_flat_layout(F: int, P: int):
+    """Field layout of the single flat f32 H2D push feeding the fused GN
+    program.  ~30 small per-KF pushes (each paying host dispatch overhead
+    on the link) become ONE concatenated array; the device side slices it
+    back apart inside the jit, where the reshapes/casts are free."""
+    n = CPARS + 8 * F
+    fields = [
+        ("u", (P,)), ("v", (P,)), ("idepth", (P,)), ("idepth_zero", (P,)),
+        ("color", (P, 8)), ("weights", (P, 8)), ("host", (P,)),
+        ("energy_th", (P,)), ("prior", (P,)), ("active", (P,)),
+        ("idepth_hessian", (P,)),
+        ("r_exists", (P, F)), ("r_state", (P, F)), ("r_active", (P, F)),
+        ("r_linearized", (P, F)),
+        ("states0", (F, 10)), ("calib0", (4,)), ("f_eth0", (F,)),
+        ("evalR", (F, 3, 3)), ("evalt", (F, 3)), ("state_zero", (F, 10)),
+        ("exposures", (F,)), ("aff0_b", (F,)), ("frame_prior", (F, 8)),
+        ("frame_valid", (F,)),
+        ("PRE_R0", (F, F, 3, 3)), ("PRE_t0", (F, F, 3)),
+        ("adH", (F, F, 8, 8)), ("adT", (F, F, 8, 8)),
+        ("HM", (n, n)), ("bM", (n,)), ("NNpiTS", (n, n)),
+        ("calib_value", (4,)), ("calib_zero", (4,)), ("c_prior", (4,)),
+    ]
+    offsets = {}
+    o = 0
+    for name, shape in fields:
+        sz = int(np.prod(shape))
+        offsets[name] = (o, shape)
+        o += sz
+    return offsets, o
+
+
+def _gn_unflatten(flat, r_energy, F, P):
+    """Slice the flat push back into (pts, res, states0, calib0, f_eth0,
+    inp) inside the jit."""
+    offsets, _ = gn_flat_layout(F, P)
+
+    def g(name, dtype=None):
+        o, shape = offsets[name]
+        a = jax.lax.dynamic_slice(flat, (o,), (int(np.prod(shape)),)).reshape(shape)
+        return a if dtype is None else a.astype(dtype)
+
+    pts = dict(
+        u=g("u"), v=g("v"), idepth=g("idepth"), idepth_zero=g("idepth_zero"),
+        color=g("color"), weights=g("weights"), host=g("host", jnp.int32),
+        energy_th=g("energy_th"), prior=g("prior"), active=g("active", bool),
+        idepth_hessian=g("idepth_hessian"),
+    )
+    res = dict(
+        exists=g("r_exists", bool), state=g("r_state", jnp.int32),
+        active=g("r_active", bool), linearized=g("r_linearized", bool),
+        energy=r_energy,
+    )
+    inp = dict(
+        evalR=g("evalR"), evalt=g("evalt"), state_zero=g("state_zero"),
+        exposures=g("exposures"), aff0_b=g("aff0_b"),
+        frame_prior=g("frame_prior"), frame_valid=g("frame_valid", bool),
+        PRE_R0=g("PRE_R0"), PRE_t0=g("PRE_t0"), adH=g("adH"), adT=g("adT"),
+        HM=g("HM"), bM=g("bM"), NNpiTS=g("NNpiTS"),
+        calib_value=g("calib_value"), calib_zero=g("calib_zero"),
+        c_prior=g("c_prior"),
+    )
+    return pts, res, g("states0"), g("calib0"), g("f_eth0"), inp
+
+
 def make_device_optimizer_fused(settings, F: int, P: int):
     """optimize() + eval-point reset + linearizeAll(true) as ONE program.
 
@@ -668,5 +733,13 @@ def make_device_optimizer_fused(settings, F: int, P: int):
                     small=small, pts_pack=pts_pack, flat=flat,
                     center_newest=center_newest, newR=newR, newt=newt)
 
+    @jax.jit
+    def optimize_flat(images, jstore, flat_in, r_energy, max_iters, newest):
+        pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
+            flat_in, r_energy, F, P)
+        return optimize(images, pts, res, jstore, states0, calib0, f_eth0,
+                        inp, max_iters, newest)
+
+    optimize.flat = optimize_flat
     _FUSED_CACHE[key] = (settings, optimize)
     return optimize

@@ -848,8 +848,8 @@ def _permute_cols(a, perm):
 from . import device_opt as D  # noqa: E402
 
 
-def _wo_device_inputs(self):
-    """Pack the per-KF constants for the device loop."""
+def _wo_host_inputs(self):
+    """The per-KF host-computed constants of the device loop, as numpy."""
     F = self.F
     nf = self.n_frames
     evalR = np.zeros((F, 3, 3), np.float32)
@@ -880,30 +880,52 @@ def _wo_device_inputs(self):
     HMp[:na, :na] = self.HM[:na, :na]
     bMp[:na] = self.bM[:na]
     # nullspace projector (constant during the loop)
-    ns = self.nullspaces()
-    N = np.stack([v / (np.linalg.norm(v) + 1e-30) for v in ns], axis=1)
-    U, S_, Vt = np.linalg.svd(N, full_matrices=False)
-    with np.errstate(divide="ignore"):
-        Sinv = np.where(S_ > self.s.solver_mode_delta * S_.max(), 1.0 / S_, 0.0)
-    Npi = U * Sinv[None, :] @ Vt
-    NNpiT = N @ Npi.T
     NNpiTS = np.zeros((n, n), np.float32)
-    NNpiTS[:na, :na] = 0.5 * (NNpiT + NNpiT.T)
+    ns = self.nullspaces() if nf else []
+    if ns:
+        N = np.stack([v / (np.linalg.norm(v) + 1e-30) for v in ns], axis=1)
+        U, S_, Vt = np.linalg.svd(N, full_matrices=False)
+        with np.errstate(divide="ignore"):
+            Sinv = np.where(S_ > self.s.solver_mode_delta * S_.max(), 1.0 / S_, 0.0)
+        Npi = U * Sinv[None, :] @ Vt
+        NNpiT = N @ Npi.T
+        NNpiTS[:na, :na] = 0.5 * (NNpiT + NNpiT.T)
     return dict(
-        evalR=jnp.asarray(evalR), evalt=jnp.asarray(evalt),
-        state_zero=jnp.asarray(state_zero),
-        exposures=jnp.asarray(exposures), aff0_b=jnp.asarray(aff0_b),
-        frame_prior=jnp.asarray(frame_prior),
-        frame_valid=jnp.asarray(frame_valid),
-        PRE_R0=jnp.asarray(PRE_R0), PRE_t0=jnp.asarray(PRE_t0),
-        adH=jnp.asarray(self.ad_host, jnp.float32),
-        adT=jnp.asarray(self.ad_target, jnp.float32),
-        HM=jnp.asarray(HMp), bM=jnp.asarray(bMp),
-        NNpiTS=jnp.asarray(NNpiTS),
-        calib_value=jnp.asarray(self.calib_value, jnp.float32),
-        calib_zero=jnp.asarray(self.calib_zero, jnp.float32),
-        c_prior=jnp.asarray(self.c_prior, jnp.float32),
+        evalR=evalR, evalt=evalt, state_zero=state_zero,
+        exposures=exposures, aff0_b=aff0_b,
+        frame_prior=frame_prior, frame_valid=frame_valid,
+        PRE_R0=PRE_R0, PRE_t0=PRE_t0,
+        adH=np.asarray(self.ad_host, np.float32),
+        adT=np.asarray(self.ad_target, np.float32),
+        HM=HMp, bM=bMp, NNpiTS=NNpiTS,
+        calib_value=np.asarray(self.calib_value, np.float32),
+        calib_zero=np.asarray(self.calib_zero, np.float32),
+        c_prior=np.asarray(self.c_prior, np.float32),
     )
+
+
+def _wo_device_inputs(self):
+    """Pack the per-KF constants for the device loop (jnp pytree)."""
+    return {k: jnp.asarray(v) for k, v in _wo_host_inputs(self).items()}
+
+
+def _wo_gn_flat(self, states0, f_eth0):
+    """Build the ONE flat f32 H2D push for the fused GN program
+    (device_opt.gn_flat_layout order)."""
+    p = self.pts
+    hi = _wo_host_inputs(self)
+    parts = [
+        p.u, p.v, p.idepth, p.idepth_zero, p.color, p.weights, p.host,
+        p.energy_th, p.prior, p.active, p.idepth_hessian,
+        p.r_exists, p.r_state, p.r_active, p.r_linearized,
+        states0, np.asarray(self.calib_value, np.float32), f_eth0,
+        hi["evalR"], hi["evalt"], hi["state_zero"], hi["exposures"],
+        hi["aff0_b"], hi["frame_prior"], hi["frame_valid"],
+        hi["PRE_R0"], hi["PRE_t0"], hi["adH"], hi["adT"],
+        hi["HM"], hi["bM"], hi["NNpiTS"],
+        hi["calib_value"], hi["calib_zero"], hi["c_prior"],
+    ]
+    return np.concatenate([np.asarray(a, np.float32).ravel() for a in parts])
 
 
 def _wo_pack_pts(self):
@@ -944,9 +966,6 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     if not hasattr(self, "_dev_opt") or self._dev_opt is None:
         self._dev_opt = D.make_device_optimizer_fused(self.s, self.F, self.P)
 
-    inp = _wo_device_inputs(self)
-    pts_d = _wo_pack_pts(self)
-    res_d = _wo_pack_res(self)
     # pre-call active set ("activeResiduals"): needed after the pull for
     # the lastResiduals / numGoodResiduals fix-time bookkeeping
     active_pre = self.pts.r_exists & ~self.pts.r_linearized
@@ -958,10 +977,14 @@ def _wo_optimize_device(self, max_iters: int) -> float:
         f_eth0[i] = f.frame_energy_th
     newest = self.n_frames - 1
 
-    out = self._dev_opt(
-        self.images, pts_d, res_d, self.jstore,
-        jnp.asarray(states0), jnp.asarray(self.calib_value, jnp.float32),
-        jnp.asarray(f_eth0), inp,
+    # ONE flat H2D push (the ~30 per-field pushes each cost host dispatch
+    # overhead on the link); r_energy stays device-resident between KFs
+    r_energy = getattr(self, "_r_energy_dev", None)
+    if r_energy is None:
+        r_energy = jnp.asarray(self.pts.r_energy)
+    out = self._dev_opt.flat(
+        self.images, self.jstore,
+        jnp.asarray(_wo_gn_flat(self, states0, f_eth0)), r_energy,
         jnp.int32(max_iters), jnp.int32(newest),
     )
     self.jstore = out["jstore"]
@@ -1046,27 +1069,14 @@ def _wo_precompile(self):
     keeps multi-second stalls out of the steady-state frame loop.  All
     shapes are fixed at construction, so zero inputs trace identically."""
     F, P = self.F, self.P
-    n = CPARS + 8 * F
     f32 = jnp.float32
     if getattr(self, "_dev_opt", None) is None:
         self._dev_opt = D.make_device_optimizer_fused(self.s, F, P)
-    inp = dict(
-        evalR=jnp.zeros((F, 3, 3), f32), evalt=jnp.zeros((F, 3), f32),
-        state_zero=jnp.zeros((F, 10), f32), exposures=jnp.ones(F, f32),
-        aff0_b=jnp.zeros(F, f32), frame_prior=jnp.zeros((F, 8), f32),
-        frame_valid=jnp.zeros(F, bool),
-        PRE_R0=jnp.zeros((F, F, 3, 3), f32), PRE_t0=jnp.zeros((F, F, 3), f32),
-        adH=jnp.zeros((F, F, 8, 8), f32), adT=jnp.zeros((F, F, 8, 8), f32),
-        HM=jnp.zeros((n, n), f32), bM=jnp.zeros(n, f32),
-        NNpiTS=jnp.zeros((n, n), f32),
-        calib_value=jnp.asarray(self.calib_value, f32),
-        calib_zero=jnp.asarray(self.calib_zero, f32),
-        c_prior=jnp.asarray(self.c_prior, f32),
-    )
-    out = self._dev_opt(
-        self.images, _wo_pack_pts(self), _wo_pack_res(self), self.jstore,
-        jnp.zeros((F, 10), f32), jnp.asarray(self.calib_value, f32),
-        jnp.zeros(F, f32), inp, jnp.int32(1), jnp.int32(0),
+    out = self._dev_opt.flat(
+        self.images, self.jstore,
+        jnp.asarray(_wo_gn_flat(self, np.zeros((F, 10), np.float32),
+                                np.zeros(F, np.float32))),
+        jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0),
     )
     marg = D.make_marg_points(self.s, F, P)(
         self.jstore, jnp.zeros((P, F), bool), jnp.asarray(self.pts.host),
