@@ -137,7 +137,9 @@ class WindowOptimizer:
         idx = len(self.frames)
         assert idx < self.F
         self.frames.append(fs)
-        self.images = self.images.at[idx].set(dI0)
+        # traced index: ONE compiled scatter serves every slot (a python
+        # int would bake the index and compile per window position)
+        self.images = _set_image_slot(self.images, jnp.int32(idx), dI0)
         self.insert_frame_hm()
         self.set_adjoints()
         return idx
@@ -830,6 +832,11 @@ class WindowOptimizer:
 
 
 @jax.jit
+def _set_image_slot(images, idx, dI0):
+    return jax.lax.dynamic_update_index_in_dim(images, dI0, idx, 0)
+
+
+@jax.jit
 def _permute_stores(jstore, images, perm):
     """Frame-column permute of the FEJ store + image-slot permute, fused
     into one device program (marginalizeFrame compaction)."""
@@ -1083,10 +1090,12 @@ def _wo_precompile(self):
         jnp.zeros(P, f32), jnp.zeros((F, F, 8, 8), f32),
         jnp.zeros((F, F, 8, 8), f32),
     )
+    ins = _set_image_slot(self.images, jnp.int32(0),
+                          jnp.zeros(self.images.shape[1:], jnp.float32))
     perm = jnp.asarray(list(range(F)))
     js, im = _permute_stores(self.jstore, self.images, perm)
     re_ = _permute_cols(jnp.zeros((P, F), f32), perm)
-    jax.block_until_ready((out, marg, js, im, re_))
+    jax.block_until_ready((out, marg, js, im, re_, ins))
 
 
 WindowOptimizer.precompile = _wo_precompile

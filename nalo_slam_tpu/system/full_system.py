@@ -715,8 +715,15 @@ class FullSystem:
             p.last_res_state[existing, 0] = RES_IN
             self.window.add_residuals(existing, new_idx)
 
+        nt_pre = [None]
+
+        def _overlap():
+            # pixel selection for the new KF's traces is independent of
+            # the window; hide it behind the activation round trip
+            nt_pre[0] = self._new_traces_host(frame)
+
         with self._stage("activate"):
-            self._activate_points()
+            self._activate_points(overlap_fn=_overlap)
 
         fs.frame_energy_th = self.window.frames[-2].frame_energy_th if self.window.n_frames > 1 else fs.frame_energy_th
         with self._stage("optimize"):
@@ -768,7 +775,7 @@ class FullSystem:
             self.window.marginalize_points(p.status == 1)
             p.status[:] = 0
         with self._stage("new_traces"):
-            self._make_new_traces(frame, new_idx)
+            self._make_new_traces(frame, new_idx, host_pre=nt_pre[0])
 
         # --- dense surfel mapping on the 3rd-newest KF (:1488-1496) ---
         if (self.global_plane.fixed and s.dense_mapping
@@ -880,8 +887,10 @@ class FullSystem:
                 to_marg.flagged_for_marg = True
 
     # ------------------------------------------------------------------
-    def _activate_points(self):
-        """activatePointsMT (:764-934)."""
+    def _activate_points(self, overlap_fn=None):
+        """activatePointsMT (:764-934).  overlap_fn, when given, runs
+        between the activation dispatch and its pull (host work hidden
+        behind the device round trip)."""
         s = self.s
         w = self.window
         p = w.pts
@@ -961,6 +970,8 @@ class FullSystem:
             iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
             w_img=self.calib.w[0], h_img=self.calib.h[0],
         )
+        if overlap_fn is not None:
+            overlap_fn()
         # the device store's valid bits are already consumed; adopt the
         # returned array without a write-back dispatch
         self.imm_static = dict(self.imm_static, valid=new_valid)
@@ -1176,10 +1187,12 @@ class FullSystem:
             valid[h * M : (h + 1) * M] = st.valid
         self.imm_static = imm.set_valid(self.imm_static, jnp.asarray(valid))
 
-    def _make_new_traces(self, frame, new_idx):
-        """makeNewTraces (:1656-1690): pixel selection -> immature points."""
+    def _new_traces_host(self, frame):
+        """Host half of makeNewTraces (:1656-1690): pixel selection +
+        static immature data.  Independent of the window state, so the
+        keyframe path runs it WHILE the activation program's device round
+        trip is in flight."""
         s = self.s
-        dIs = frame["dIs"]
         # host mini-pyramid for the (host-side) selector: avoids pulling the
         # device pyramid over the link
         h_dI0, h_ags = _host_selector_pyramid(frame["image"], self.gamma_b_grad_np)
@@ -1197,6 +1210,15 @@ class FullSystem:
         if len(xs) > M:
             sel = self.selector.rng.choice(len(xs), M, replace=False)
             xs, ys, types = xs[sel], ys[sel], types[sel]
+        return h_dI0, xs, ys, types
+
+    def _make_new_traces(self, frame, new_idx, host_pre=None):
+        """makeNewTraces: adopt the host half's selection into the
+        immature store and upload the block."""
+        s = self.s
+        h_dI0, xs, ys, types = (host_pre if host_pre is not None
+                                else self._new_traces_host(frame))
+        M = s.max_immature_per_frame
         st = self.immatures[new_idx]
         n = len(xs)
         # static immature data computed HOST-side from the selector pyramid
