@@ -271,6 +271,8 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
                               affine_opt_mode_a=-1.0, affine_opt_mode_b=-1.0)
         elif k == "quiet":
             s = s.replace(debugout_runquiet=bool(int(v)))
+        elif k == "logStuff":   # 9-stream logging gate (settings.cpp:203)
+            s = s.replace(log_stuff=bool(int(v)))
         elif k == "width":      # benchmark resize hooks (:419-445)
             s = s.replace(benchmark_width=int(v))
         elif k == "height":

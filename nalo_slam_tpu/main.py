@@ -11,7 +11,12 @@ Usage:
       [colors=<dir>] [preset=0] [mode=0] [dense=0] [planeOpt=0] \
       [start=0] [end=100000] [speed=0] [output=result.txt] \
       [log=metrics.jsonl] [pipelined=1] [render=renders/] \
-      [checkpoint=state.npz] [checkpoint_every=0] [resume=state.npz]
+      [checkpoint=state.npz] [checkpoint_every=0] [resume=state.npz] \
+      [profile=<trace-dir>] [logStuff=0]
+
+profile= writes a JAX profiler trace (open with TensorBoard / xprof) for
+the whole playback; logStuff=1 turns on the per-KF eigen-spectrum stream
+(reference setting_logStuff, FullSystem.cpp:1755-1835).
 """
 
 from __future__ import annotations
@@ -94,6 +99,11 @@ def run(argv: list[str]) -> int:
         from .system.pipeline import PipelinedSystem
         runner = PipelinedSystem(sys_)
 
+    prof_dir = extras.get("profile")
+    if prof_dir:
+        import jax as _jax
+        _jax.profiler.start_trace(prof_dir)
+
     t_start = time.time()
     n_done = n_skipped = 0
     i = start
@@ -138,6 +148,9 @@ def run(argv: list[str]) -> int:
         i += 1
     if pipelined:
         runner.finish()
+    if prof_dir:
+        _jax.profiler.stop_trace()
+        print(f"profiler trace written to {prof_dir}")
 
     wall = time.time() - t_start
     print(

@@ -743,6 +743,31 @@ class FullSystem:
             self.is_lost = True
             return rmse
 
+        # eigenvalue/diagonal/nullspace spectra stream (printEigenValLine,
+        # reference FullSystem.cpp:1755-1835), gated like setting_logStuff;
+        # costs one extra device call + pull per KF so it is off by default
+        if s.log_stuff:
+            from ..backend import device_opt as Dv
+            p_ = self.window.pts
+            mask_all = p_.r_exists & p_.r_active
+            flat_h = np.asarray(Dv.make_marg_points(s, self.window.F, self.window.P)(
+                self.window.jstore, jnp.asarray(mask_all),
+                jnp.asarray(p_.host), jnp.asarray(p_.prior, jnp.float32),
+                jnp.asarray(self.window.ad_host, jnp.float32),
+                jnp.asarray(self.window.ad_target, jnp.float32),
+            ), np.float64)
+            nfull = 4 + 8 * self.window.F
+            Hs = flat_h[: nfull * nfull].reshape(nfull, nfull)
+            na = 4 + 8 * self.window.n_frames
+            Hs = 0.5 * (Hs[:na, :na] + Hs[:na, :na].T)
+            ev = np.linalg.eigvalsh(Hs)
+            self.metrics.log(
+                "eigen", kf=fs.frame_id,
+                eigenvalues=[round(float(x), 6) for x in ev],
+                diag=[round(float(x), 6) for x in np.diag(Hs)],
+                nullspaces=len(self.window.last_nullspaces),
+            )
+
         self._remove_outliers()
         with self._stage("tracker_ref"):
             self._set_tracker_ref(frame)
