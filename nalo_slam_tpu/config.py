@@ -22,7 +22,12 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 PYR_LEVELS = 6
-CPARS = 4  # fx fy cx cy
+CPARS = 4
+
+# mutable interactive debug knob (reference settings.cpp:236-251 handleKey
+# 'd'/'s'; consumed by the debug-render color mode like debugPlot's use of
+# freeDebugParam5, FullSystemDebugStuff.cpp:119,187)
+FREE_DEBUG_PARAM5 = 0.0  # fx fy cx cy
 
 # Residual pattern 8 ("8 for SSE efficiency"; reference settings.cpp:297-300,
 # staticPattern index 8, padding 2).  dx, dy offsets around the point.

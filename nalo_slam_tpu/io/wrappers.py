@@ -135,11 +135,17 @@ class RenderWrapper(Output3DWrapper):
         self._n_live += 1
 
     def push_depth_image(self, image):
-        """image: dict(idepth, valid, background) of the newest keyframe."""
+        """image: dict(idepth, valid, background) of the newest keyframe.
+        The interactive freeDebugParam5 knob ('d'/'s' keys) toggles the
+        gray-image underlay, mirroring debugPlot's mode switch (reference
+        FullSystemDebugStuff.cpp:119,187)."""
         from ..utils.viz import render_idepth_map, save_png
+        from .. import config as _cfg
 
-        img = render_idepth_map(image["idepth"], image.get("valid"),
-                                image.get("background"))
+        bg = image.get("background")
+        if int(getattr(_cfg, "FREE_DEBUG_PARAM5", 0) + 0.5) % 2 == 1:
+            bg = None
+        img = render_idepth_map(image["idepth"], image.get("valid"), bg)
         save_png(f"{self.dir}/depth_{self._n_depth:06d}.png", img)
         self._n_depth += 1
 

@@ -22,6 +22,7 @@ the whole playback; logStuff=1 turns on the per-KF eigen-spectrum stream
 from __future__ import annotations
 
 import os
+import select
 import sys
 import time
 
@@ -53,6 +54,31 @@ def build_system(settings: Settings, reader: ImageFolderReader,
     )
     gamma_grad = reader.photo.gamma.B_grad if settings.gamma_weights_pixel_select else None
     return FullSystem(settings, calib, gamma_b_grad=gamma_grad, metrics=metrics)
+
+
+def _poll_key() -> str | None:
+    """Non-blocking single-key read (reference handleKey,
+    settings.cpp:236-251): only active when stdin is a terminal."""
+    try:
+        if not sys.stdin.isatty():
+            return None
+        r, _, _ = select.select([sys.stdin], [], [], 0)
+        if r:
+            return sys.stdin.read(1)
+    except Exception:
+        pass
+    return None
+
+
+def _handle_key(k: str) -> None:
+    import nalo_slam_tpu.config as _cfg
+
+    if k in ("d", "D"):
+        _cfg.FREE_DEBUG_PARAM5 = (int(_cfg.FREE_DEBUG_PARAM5 + 1)) % 10
+        print(f"new freeDebugParam5: {_cfg.FREE_DEBUG_PARAM5:.1f}!")
+    elif k in ("s", "S"):
+        _cfg.FREE_DEBUG_PARAM5 = (int(_cfg.FREE_DEBUG_PARAM5 - 1 + 10)) % 10
+        print(f"new freeDebugParam5: {_cfg.FREE_DEBUG_PARAM5:.1f}!")
 
 
 def run(argv: list[str]) -> int:
@@ -120,6 +146,9 @@ def run(argv: list[str]) -> int:
                 n_skipped += 1
                 i += 1
                 continue
+        k_key = _poll_key()
+        if k_key:
+            _handle_key(k_key)
         frame = reader.get_image(i)
         runner.add_frame(
             frame["image"], exposure=frame["exposure"],
