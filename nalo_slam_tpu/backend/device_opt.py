@@ -328,9 +328,23 @@ def make_device_optimizer(settings, F: int, P: int):
             out = linearize(images, pts2, c["res"], c["jstore"], new_states, inp, c["f_eth"])
             f_eth = frame_energy_th(out, c["res"], newest, c["f_eth"])
             res2, jstore2 = apply_res(out, c["res"], c["jstore"])
-            return dict(it=c["it"] + 1, states=new_states, calib=new_calib,
-                        pts=pts2, res=res2, jstore=jstore2, f_eth=f_eth,
-                        done=canbreak, nresA=nresA)
+            new = dict(it=c["it"] + 1, states=new_states, calib=new_calib,
+                       pts=pts2, res=res2, jstore=jstore2, f_eth=f_eth,
+                       done=canbreak, nresA=nresA)
+            # freeze once converged: a no-op unbatched (cond already exits),
+            # but under vmap the while_loop runs until EVERY batch element
+            # converges -- without this, already-converged windows would
+            # keep iterating and diverge from their unbatched result
+            frozen = c["done"] & (c["it"] >= s.min_opt_iterations)
+
+            def sel(new_v, old_v):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        jnp.reshape(frozen, (1,) * n.ndim), o, n),
+                    new_v, old_v)
+
+            return {k: (new[k] if k == "it" else sel(new[k], c[k]))
+                    for k in new}
 
         carry = dict(it=jnp.int32(0), states=states0, calib=calib0, pts=pts,
                      res=res1, jstore=jstore1, f_eth=f_eth1,

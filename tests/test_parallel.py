@@ -122,3 +122,73 @@ def test_multiseq_system_end_to_end():
         assert ate < 0.06, f"seq {b}: ATE {ate:.4f} m"
         n_ok += 1
     assert n_ok >= 6
+
+
+def test_vmapped_window_ba_matches_per_window():
+    """Multi-sequence BA as ONE sharded batched GN call: vmap the fused
+    device optimizer (backend/device_opt.py) over B independent windows,
+    shard the batch over the dp mesh axis, and check each sequence's
+    result matches its own unbatched optimize_device run (SURVEY.md §2.4
+    scale-out; the reference has no analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nalo_slam_tpu.backend import device_opt as D
+    from nalo_slam_tpu.backend.energy import _wo_gn_flat
+    from test_ba import build_window
+
+    B = 8   # one window per device on the 8-device mesh
+    # small perturbation keeps every window well-conditioned: a window on
+    # an LM accept/reject boundary amplifies f32 layout jitter into a
+    # different (equally valid) descent trajectory, which is convergence
+    # chaos rather than a batching defect
+    wins = [build_window(n_frames=3, pose_perturb=0.01, seed=s)[0]
+            for s in range(B)]
+    w0 = wins[0]
+    F, Pn = w0.F, w0.P
+
+    # per-window reference results (unbatched fused program); the
+    # wrapper raises max_iters to 15 for a 3-frame window
+    ref_states = []
+    for w in wins:
+        w.optimize_device(4)
+        ref_states.append(np.stack([f.state for f in w.frames]))
+
+    # rebuild fresh windows with identical inputs for the batched run
+    wins2 = [build_window(n_frames=3, pose_perturb=0.01, seed=s)[0]
+             for s in range(B)]
+    opt = D.make_device_optimizer_fused(w0.s, F, Pn)
+
+    def flat_inputs(w):
+        states0 = np.zeros((F, 10), np.float32)
+        f_eth0 = np.zeros(F, np.float32)
+        for i, f in enumerate(w.frames):
+            states0[i] = f.state
+            f_eth0[i] = f.frame_energy_th
+        return _wo_gn_flat(w, states0, f_eth0)
+
+    images_b = jnp.stack([w.images for w in wins2])
+    jstore_b = {k: jnp.stack([w.jstore[k] for w in wins2])
+                for k in wins2[0].jstore}
+    flat_b = jnp.stack([jnp.asarray(flat_inputs(w)) for w in wins2])
+    re_b = jnp.stack([jnp.asarray(w.pts.r_energy) for w in wins2])
+
+    batched = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, None, None))
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs.reshape(len(devs)), ("dp",))
+    shard = NamedSharding(mesh, P("dp"))
+    images_b = jax.device_put(images_b, shard)
+    flat_b = jax.device_put(flat_b, shard)
+    out = batched(images_b, jstore_b, flat_b, re_b,
+                  jnp.int32(15), jnp.int32(2))
+    flat_out = np.asarray(out["flat"])
+
+    n_small = 6 + F + 10 * F
+    for b in range(B):
+        small = flat_out[b, :n_small]
+        states = small[6 + F:].reshape(F, 10)
+        # same optimization outcome as the per-window run (f32 tolerance)
+        np.testing.assert_allclose(states[:3, :8], ref_states[b][:3, :8],
+                                   rtol=1e-2, atol=1e-3)
