@@ -331,11 +331,15 @@ def make_device_optimizer(settings, F: int, P: int):
             new = dict(it=c["it"] + 1, states=new_states, calib=new_calib,
                        pts=pts2, res=res2, jstore=jstore2, f_eth=f_eth,
                        done=canbreak, nresA=nresA)
-            # freeze once converged: a no-op unbatched (cond already exits),
-            # but under vmap the while_loop runs until EVERY batch element
-            # converges -- without this, already-converged windows would
-            # keep iterating and diverge from their unbatched result
-            frozen = c["done"] & (c["it"] >= s.min_opt_iterations)
+            # freeze once converged or out of budget: a no-op unbatched
+            # (cond already exits), but under vmap the while_loop runs
+            # until EVERY batch element finishes -- without this,
+            # already-finished windows would keep iterating and diverge
+            # from their unbatched result (max_iters may also differ per
+            # element when the multi-sequence executor batches windows of
+            # different sizes)
+            frozen = (c["done"] & (c["it"] >= s.min_opt_iterations)) | (
+                c["it"] >= max_iters)
 
             def sel(new_v, old_v):
                 return jax.tree_util.tree_map(

@@ -961,18 +961,16 @@ def _wo_pack_res(self):
     )
 
 
-def _wo_optimize_device(self, max_iters: int) -> float:
-    """optimize() + final relinearization as ONE device program."""
-    if self.n_frames < 2:
-        return 0.0
+def _wo_gn_prepare(self, max_iters: int):
+    """Host half of the device GN call: the flat input push plus the meta
+    the adoption needs.  Split out so a multi-sequence executor can stack
+    several windows' inputs and run them as ONE vmapped program."""
     if self.n_frames < 3:
         max_iters = 20
     elif self.n_frames < 4:
         max_iters = 15
-
     if not hasattr(self, "_dev_opt") or self._dev_opt is None:
         self._dev_opt = D.make_device_optimizer_fused(self.s, self.F, self.P)
-
     # pre-call active set ("activeResiduals"): needed after the pull for
     # the lastResiduals / numGoodResiduals fix-time bookkeeping
     active_pre = self.pts.r_exists & ~self.pts.r_linearized
@@ -983,24 +981,39 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     for i, f in enumerate(self.frames):
         f_eth0[i] = f.frame_energy_th
     newest = self.n_frames - 1
-
-    # ONE flat H2D push (the ~30 per-field pushes each cost host dispatch
-    # overhead on the link); r_energy stays device-resident between KFs
     r_energy = getattr(self, "_r_energy_dev", None)
     if r_energy is None:
         r_energy = jnp.asarray(self.pts.r_energy)
-    out = self._dev_opt.flat(
-        self.images, self.jstore,
-        jnp.asarray(_wo_gn_flat(self, states0, f_eth0)), r_energy,
-        jnp.int32(max_iters), jnp.int32(newest),
-    )
-    self.jstore = out["jstore"]
+    flat = _wo_gn_flat(self, states0, f_eth0)
+    return flat, r_energy, dict(active_pre=active_pre, newest=newest,
+                                max_iters=max_iters)
 
+
+def _wo_optimize_device(self, max_iters: int) -> float:
+    """optimize() + final relinearization as ONE device program."""
+    if self.n_frames < 2:
+        return 0.0
+    flat_in, r_energy, meta = _wo_gn_prepare(self, max_iters)
+    # ONE flat H2D push (the ~30 per-field pushes each cost host dispatch
+    # overhead on the link); r_energy stays device-resident between KFs
+    out = self._dev_opt.flat(
+        self.images, self.jstore, jnp.asarray(flat_in), r_energy,
+        jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+    )
     # sync with ONE flat pull (every extra D2H pull costs a ~30 ms tunnel
     # round trip): [small | newR | newt | pts_pack | res_bits]
+    return _wo_gn_adopt(self, np.asarray(out["flat"], np.float64),
+                        out["jstore"], out["res"]["energy"],
+                        out["center_newest"], meta)
+
+
+def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):
+    """Adopt the GN program's flat pull + device-resident outputs."""
+    newest = meta["newest"]
+    active_pre = meta["active_pre"]
+    self.jstore = jstore_dev
     F, P = self.F, self.P
     n_small = 6 + F + 10 * F
-    flat = np.asarray(out["flat"], np.float64)
     small_np = flat[:n_small]
     o = n_small
     newR = flat[o:o + 9].reshape(3, 3); o += 9
@@ -1047,8 +1060,8 @@ def _wo_optimize_device(self, max_iters: int) -> float:
         p.num_good_res += isnew.sum(1).astype(np.int32)
     p.r_is_new &= ~active_pre
     # r_energy and the newest-column center projections stay device-resident
-    self._r_energy_dev = out["res"]["energy"]
-    self._center_newest_dev = out["center_newest"]
+    self._r_energy_dev = r_energy_dev
+    self._center_newest_dev = center_dev
     rmse = float(np.sqrt(self.last_energy / (8.0 * self.res_in_a)))
 
     lock = getattr(self, "shell_lock", None)
@@ -1112,4 +1125,6 @@ WindowOptimizer.device_inputs = _wo_device_inputs
 WindowOptimizer.pack_pts = _wo_pack_pts
 WindowOptimizer.pack_res = _wo_pack_res
 WindowOptimizer.optimize_device = _wo_optimize_device
+WindowOptimizer.gn_prepare = _wo_gn_prepare
+WindowOptimizer.gn_adopt = _wo_gn_adopt
 WindowOptimizer._dev_opt = None

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..frontend.tracker import make_track_fn
@@ -127,6 +128,7 @@ class MultiSeqSystem:
         R = np.asarray(R); t = np.asarray(t); ab = np.asarray(ab)
         res = np.asarray(res); flow = np.asarray(flow); ok = np.asarray(ok)
 
+        kf_jobs = []
         for i, (b, frame, pre) in enumerate(pend):
             sysb = self.systems[b]
             # repack row i into the single-call packed layout
@@ -137,4 +139,60 @@ class MultiSeqSystem:
             need_kf = sysb.track_only(frame, packed0=packed0, pre=pre)
             if need_kf is None:
                 continue
-            sysb.map_frame(frame, need_kf)
+            if need_kf and sysb.s.use_device_opt:
+                kf_jobs.append((sysb, frame))
+            else:
+                sysb.map_frame(frame, need_kf)
+        if len(kf_jobs) == 1:
+            kf_jobs[0][0].map_frame(kf_jobs[0][1], True)
+        elif kf_jobs:
+            self._batched_keyframes(kf_jobs)
+
+    def _batched_keyframes(self, jobs):
+        """Several sequences decided on a keyframe in the same lock-step:
+        run their sliding-window GN as ONE vmapped device program (padded
+        to the fixed batch B so a single compiled executable serves every
+        keyframe coincidence pattern).  Per-element results are identical
+        to the unbatched program: converged/out-of-budget windows freeze
+        inside the loop body (device_opt.py)."""
+        ctxs = [s._kf_pre(f) for s, f in jobs]
+        wins = [s.window for s, _ in jobs]
+        # windows too small for the device GN fall back (first KF only)
+        small = [i for i, w in enumerate(wins) if w.n_frames < 2]
+        if small:
+            for (s, f), ctx in zip(jobs, ctxs):
+                s._kf_post(ctx, s.window.optimize_device(s.s.max_opt_iterations)
+                           if s.window.n_frames >= 2 else 0.0)
+            return
+        preps = [w.gn_prepare(s.s.max_opt_iterations)
+                 for (s, _), w in zip(jobs, wins)]
+        opt = wins[0]._dev_opt
+        n = len(jobs)
+        rows = list(range(n)) + [0] * (self.B - n)   # pad to fixed B
+        out = _batched_gn(opt)(
+            jnp.stack([wins[r].images for r in rows]),
+            {k: jnp.stack([wins[r].jstore[k] for r in rows])
+             for k in wins[0].jstore},
+            jnp.stack([jnp.asarray(preps[r][0]) for r in rows]),
+            jnp.stack([preps[r][1] for r in rows]),
+            jnp.asarray([preps[r][2]["max_iters"] for r in rows], jnp.int32),
+            jnp.asarray([preps[r][2]["newest"] for r in rows], jnp.int32),
+        )
+        flat_np = np.asarray(out["flat"], np.float64)
+        for i, ((s, f), w, (fl, re, meta), ctx) in enumerate(
+                zip(jobs, wins, preps, ctxs)):
+            jst = {k: out["jstore"][k][i] for k in out["jstore"]}
+            rmse = w.gn_adopt(flat_np[i], jst, out["res"]["energy"][i],
+                              out["center_newest"][i], meta)
+            s._kf_post(ctx, rmse)
+
+
+_BGN_CACHE: dict = {}
+
+
+def _batched_gn(opt):
+    fn = _BGN_CACHE.get(id(opt))
+    if fn is None:
+        fn = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, 0, 0))
+        _BGN_CACHE[id(opt)] = fn
+    return fn

@@ -680,6 +680,17 @@ class FullSystem:
     # Keyframe pipeline (makeKeyFrame :1279)
     # ==================================================================
     def _make_keyframe(self, frame):
+        """makeKeyFrame split at the window-GN boundary so a
+        multi-sequence executor can batch several sequences' BA into one
+        vmapped device call (parallel/multiseq.py)."""
+        ctx = self._kf_pre(frame)
+        s = self.s
+        with self._stage("optimize"):
+            rmse = (self.window.optimize_device(s.max_opt_iterations)
+                    if s.use_device_opt else self.window.optimize(s.max_opt_iterations))
+        return self._kf_post(ctx, rmse)
+
+    def _kf_pre(self, frame):
         s = self.s
         shell = frame["shell"]
         self._stage_ms = {}
@@ -726,9 +737,17 @@ class FullSystem:
             self._activate_points(overlap_fn=_overlap)
 
         fs.frame_energy_th = self.window.frames[-2].frame_energy_th if self.window.n_frames > 1 else fs.frame_energy_th
-        with self._stage("optimize"):
-            rmse = (self.window.optimize_device(s.max_opt_iterations)
-                    if s.use_device_opt else self.window.optimize(s.max_opt_iterations))
+        return dict(frame=frame, fs=fs, new_idx=new_idx, nt_pre=nt_pre,
+                    t_kf0=t_kf0)
+
+    def _kf_post(self, ctx, rmse):
+        s = self.s
+        frame = ctx["frame"]
+        fs = ctx["fs"]
+        new_idx = ctx["new_idx"]
+        nt_pre = ctx["nt_pre"]
+        t_kf0 = ctx["t_kf0"]
+        p = self.window.pts
 
         # init-failure checks (:1370-1387)
         nkf = len(self.all_kf_shells)
