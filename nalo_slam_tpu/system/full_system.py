@@ -271,9 +271,8 @@ class FullSystem:
         outs.append(fn0(eye, jnp.zeros(3, f32), jnp.zeros(2, f32),
                         tuple(maps), colors, dIs, exps, raff))
         nh = 31   # _motion_hypotheses always yields 5 + 26 candidates
-        mlb = min(2, L - 1)
-        fnb = self._get_track_fn(True, mlb)
-        outs.append(fnb(jnp.broadcast_to(eye, (nh, 3, 3)).copy(),
+        fnr = self._get_retrack_fn()
+        outs.append(fnr(jnp.broadcast_to(eye, (nh, 3, 3)).copy(),
                         jnp.zeros((nh, 3), f32), jnp.zeros((nh, 2), f32),
                         tuple(maps), colors, dIs, exps, raff))
         jax.block_until_ready(outs)
@@ -524,6 +523,47 @@ class FullSystem:
         fn = self._get_track_fn(batched, min_level)
         return fn(R0s, t0s, ab0s, ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
 
+    def _get_retrack_fn(self):
+        """The whole re-track ladder as ONE program: batched coarse triage
+        of all 31 hypotheses, device argmin, full descent from the winner
+        (reference FullSystem.cpp:516-656).  One pull instead of three.
+        Output = packed full-descent result + [ok&had, had] flags."""
+        key = ("retrack",)
+        if key not in self._track_fns:
+            ml = min(2, self.calib.levels - 1)
+            coarse = make_track_fn(self.shapes, self.Ks, self.s,
+                                   self._affine_mode, min_level=ml)
+            full = make_track_fn(self.shapes, self.Ks, self.s,
+                                 self._affine_mode, min_level=0)
+
+            def retrack(Rs, ts, abs_, ref_maps, ref_colors, new_dIs, exps,
+                        ref_aff):
+                Rb, tb, abb, resb, _fl, okb = jax.vmap(
+                    coarse, in_axes=(0, 0, 0, None, None, None, None, None)
+                )(Rs, ts, abs_, ref_maps, ref_colors, new_dIs, exps, ref_aff)
+                score = jnp.where(okb & jnp.isfinite(resb[:, ml]),
+                                  resb[:, ml], jnp.inf)
+                bi = jnp.argmin(score)
+                had = jnp.isfinite(score[bi])
+                R1, t1, ab1, res1, flow1, ok1 = full(
+                    Rb[bi], tb[bi], abb[bi], ref_maps, ref_colors, new_dIs,
+                    exps, ref_aff)
+                return jnp.concatenate([
+                    R1.reshape(-1), t1, ab1, res1, flow1,
+                    (ok1 & had).astype(jnp.float32)[None],
+                    had.astype(jnp.float32)[None],
+                ])
+
+            self._track_fns[key] = jax.jit(retrack)
+        return self._track_fns[key]
+
+    def _run_retrack(self, Rs, ts, abs_, new_dIs, ref):
+        exps = jnp.asarray([ref["exposure"], self._cur_exposure], jnp.float32)
+        ref_aff = jnp.asarray(ref["aff"], jnp.float32)
+        return self._get_retrack_fn()(
+            jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_),
+            ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
+
     def _track_h0_inputs(self, frame):
         """Prologue of trackNewCoarse: motion hypotheses + affine init,
         under the shell lock.  Returns (tries, aff0, ref)."""
@@ -566,23 +606,14 @@ class FullSystem:
             Rs = np.stack([x.Rt32()[0] for x in tries])
             ts = np.stack([x.Rt32()[1] for x in tries])
             abs_ = np.tile(aff0, (n, 1))
-            # two-stage ladder: triage all hypotheses on coarse levels only,
-            # then one full descent from the winner
-            ml = min(2, self.calib.levels - 1)
-            packed_b = np.asarray(self._run_track(
-                jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_), frame["dIs"],
-                True, min_level=ml, ref=ref,
-            ))
-            Rb, tb, abb, resb, flowb, okb = self._unpack_track(packed_b)
-            okb = okb & np.isfinite(resb[:, ml])
-            if okb.any():
-                cand = np.where(okb, resb[:, ml], np.inf)
-                bi = int(np.argmin(cand))
-                packed_w = np.asarray(self._run_track(
-                    jnp.asarray(Rb[bi]), jnp.asarray(tb[bi]),
-                    jnp.asarray(abb[bi]), frame["dIs"], False, ref=ref,
-                ))
-                Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(packed_w)
+            # two-stage ladder as ONE device program: coarse triage of all
+            # hypotheses, device argmin, full descent from the winner
+            packed_w = np.asarray(self._run_retrack(Rs, ts, abs_,
+                                                    frame["dIs"], ref))
+            had = packed_w[-1] > 0.5
+            if had:
+                Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(
+                    packed_w[:-1])
                 best = (Rw2.astype(np.float64), tw2.astype(np.float64),
                         abw2.astype(np.float64), resw2, floww2)
                 good = bool(okw2) and np.isfinite(resw2[0])
