@@ -640,6 +640,14 @@ class FullSystem:
         ach = np.where(np.isfinite(resw[: len(self.last_coarse_rmse)]),
                        resw[: len(self.last_coarse_rmse)], 100.0)
         self.last_coarse_rmse = ach
+        if self.s.log_stuff:
+            # coarseTrackingLog stream (reference FullSystem.cpp:684-695)
+            self.metrics.log(
+                "coarse_tracking", id=shell.id, ts=shell.timestamp,
+                exposure=frame["exposure"],
+                xi=[round(float(x), 8) for x in shell.camToWorld.log()],
+                a=float(abw[0]), b=float(abw[1]),
+                res=float(resw[0]) if np.isfinite(resw[0]) else None)
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = float(self.last_coarse_rmse[0])
         return np.array([resw[0] if np.isfinite(resw[0]) else np.nan,
@@ -780,6 +788,14 @@ class FullSystem:
         t_kf0 = ctx["t_kf0"]
         p = self.window.pts
 
+        if s.log_stuff:
+            # calibLog stream (reference FullSystemOptimize.cpp:576-583)
+            self.metrics.log(
+                "calib", kf=fs.frame_id,
+                calib=[round(float(x), 6) for x in self.window.calib_value],
+                newest_state=[round(float(x), 8) for x in
+                              self.window.frames[-1].state[:8]],
+                rmse=round(float(rmse), 5))
         # init-failure checks (:1370-1387)
         nkf = len(self.all_kf_shells)
         slack = s.benchmark_initializer_slack_factor
@@ -1166,6 +1182,15 @@ class FullSystem:
         drop2 = oob_like & (~is_inlier | (p.idepth_hessian <= s.min_idepth_h_marg))
         p.status[marg] = 1
         p.status[drop | drop2] = 2
+        if s.log_stuff and (marg.any() or drop.any() or drop2.any()):
+            # lifetimesLog equivalent (reference printLogLine lifetimes,
+            # FullSystem.cpp:1837-1868): aggregate per-KF removal stats
+            gone = marg | drop | drop2
+            self.metrics.log(
+                "lifetimes", n_marg=int(marg.sum()),
+                n_drop=int((drop | drop2).sum()),
+                mean_good_res=round(float(p.num_good_res[gone].mean()), 2),
+                mean_idepth=round(float(p.idepth[gone].mean()), 5))
         if (drop | drop2).any():
             p.remove(np.nonzero(drop | drop2)[0])
 
