@@ -1,0 +1,2 @@
+// Empty stub: all g2o usage in the reference is commented out (VertexDefine.h).
+#pragma once
