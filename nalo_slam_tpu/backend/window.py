@@ -47,6 +47,11 @@ class FrameState:
         self.step = np.zeros(10)
         self.frame_energy_th = 8.0 * 8.0 * 8  # 8*8*patternNum
         self.flagged_for_marg = False
+        # lifetime counters of points hosted by this frame that left the
+        # active set (reference pointHessiansMarginalized/-Out sizes, used by
+        # the marginalization point-fraction rule FullSystemMarginalize.cpp:74-84)
+        self.n_pts_marginalized = 0
+        self.n_pts_out = 0
         self.nullspaces_pose = np.zeros((6, 6))
         self.nullspaces_scale = np.zeros(6)
         self.nullspaces_affine = np.zeros((4, 2))

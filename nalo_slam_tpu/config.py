@@ -163,13 +163,14 @@ class Settings:
 
     # --- immature tracing bounds ---
     max_pix_search: float = 0.027      # fraction of (w+h)
-    max_idepth: float = 50.0
+    # (the reference's setting_maxIdepth is declared but never read
+    #  anywhere in its sources; no equivalent knob is kept here)
 
     # --- benchmark noise injection (settings.cpp:183-186,
     #     Undistort.cpp:452-484) ---
     benchmark_var_noise: float = 0.0       # px-shift noise amplitude
     benchmark_noise_grid_size: int = 3
-    benchmark_var_blur_noise: float = 0.0  # unused placeholder like reference
+    benchmark_var_blur_noise: float = 0.0  # spatially-varying blur (applyBlurNoise)
     # benchmark resize hooks (settings.cpp:180-182, Undistort.cpp:892-917)
     benchmark_width: int = 0               # override output width
     benchmark_height: int = 0              # override output height
@@ -209,21 +210,39 @@ def preset(num: int, base: Settings | None = None) -> Settings:
     """
     s = base or Settings()
     if num in (0, 1):
+        # NALO's default operating point (main_dso_pangolin.cpp:104-122):
+        # unlike upstream DSO, presets 0/1 use the 5000/4000 densities.
         return s.replace(
-            desired_point_density=2000.0,
-            desired_immature_density=1500.0,
+            desired_point_density=5000.0,
+            desired_immature_density=4000.0,
+            max_points=16384,
+            max_immature_per_frame=4096,
             min_frames=5,
             max_frames=7,
             max_opt_iterations=6,
             min_opt_iterations=1,
         )
     if num in (2, 3):
+        # FAST: 800 pts, 4-6 KFs, <=4 iters, 424x320 (:126-146)
         return s.replace(
             desired_point_density=800.0,
             desired_immature_density=600.0,
             min_frames=4,
             max_frames=6,
             max_opt_iterations=4,
+            min_opt_iterations=1,
+            benchmark_width=424,
+            benchmark_height=320,
+        )
+    if num == 4:
+        # DSO-style sparse point (:159-167): mask fusion off, stock densities
+        return s.replace(
+            use_lidar=False,
+            desired_point_density=2000.0,
+            desired_immature_density=1500.0,
+            min_frames=5,
+            max_frames=7,
+            max_opt_iterations=6,
             min_opt_iterations=1,
         )
     if num == 5:
@@ -232,6 +251,10 @@ def preset(num: int, base: Settings | None = None) -> Settings:
             desired_immature_density=4000.0,
             max_points=16384,
             max_immature_per_frame=4096,
+            min_frames=5,
+            max_frames=7,
+            max_opt_iterations=6,
+            min_opt_iterations=1,
         )
     return s
 
@@ -252,6 +275,7 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
         k, v = arg.split("=", 1)
         if k == "preset":
             s = preset(int(v), s)
+            extras["preset"] = v  # playback-speed defaults live in the CLI
         elif k == "dense":
             s = s.replace(dense_track=bool(int(v)))
         elif k == "planeOpt":
@@ -286,6 +310,19 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
             s = s.replace(benchmark_fxfyfac=float(v))
         elif k == "noise":      # geometric noise amplitude (px)
             s = s.replace(benchmark_var_noise=float(v))
+        elif k.startswith("set_") and hasattr(s, k[4:]):
+            # generic Settings override (set_<field>=<value>) for experiments
+            field = k[4:]
+            cur = getattr(s, field)
+            if isinstance(cur, bool):
+                val = bool(int(v))
+            elif isinstance(cur, int):
+                val = int(float(v))
+            elif isinstance(cur, float):
+                val = float(v)
+            else:
+                val = v
+            s = s.replace(**{field: val})
         else:
             extras[k] = v
     return s, extras

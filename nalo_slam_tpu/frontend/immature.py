@@ -40,11 +40,12 @@ IPS_UNINITIALIZED = 5
 _N_STEPS = 100
 
 
-def n_steps_for(w_img: int, h_img: int, max_pix_search_frac: float) -> int:
+def n_steps_for(w_img: int, h_img: int, max_pix_search_frac: float,
+                stepsize: float = 1.0) -> int:
     """The discrete search never exceeds maxPixSearch pixels (reference
     :225-230), so size the slot axis to the geometry instead of the
     worst-case 100 (gathers are the cost on TPU)."""
-    return min(_N_STEPS, int((w_img + h_img) * max_pix_search_frac) + 3)
+    return min(_N_STEPS, int((w_img + h_img) * max_pix_search_frac / stepsize) + 3)
 
 
 @jax.jit
@@ -65,7 +66,9 @@ def make_immature_data(dI, u, v):
     return color, w, gradH, ok
 
 
-@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img", "n_steps"))
+@partial(jax.jit, static_argnames=(
+    "huber_th", "w_img", "h_img", "n_steps", "stepsize", "gn_iters",
+    "gn_threshold", "slack_interval", "min_improvement", "extra_slack"))
 def trace_points(
     new_dI,                       # (H, W, 3)
     u, v, color, weights, gradH,  # (N,), (N,8), (N,2,2)
@@ -75,6 +78,13 @@ def trace_points(
     p_host,                       # (N,) int32
     max_pix_search_frac,          # scalar (setting_maxPixSearch)
     huber_th: float, w_img: int, h_img: int, n_steps: int = _N_STEPS,
+    # trace knobs (reference settings.cpp:164-174)
+    stepsize: float = 1.0,        # setting_trace_stepsize
+    gn_iters: int = 3,            # setting_trace_GNIterations
+    gn_threshold: float = 0.1,    # setting_trace_GNThreshold
+    slack_interval: float = 1.5,  # setting_trace_slackInterval
+    min_improvement: float = 2.0, # setting_trace_minImprovementFactor
+    extra_slack: float = 1.2,     # setting_trace_extraSlackOnTH
 ):
     """Vectorized ImmaturePoint::traceOn.  Returns new (idepth_min,
     idepth_max, status, quality, pixel_interval, last_u, last_v)."""
@@ -108,7 +118,7 @@ def trace_points(
     max_ok = (u_max > 4) & (v_max > 4) & (u_max < w_img - 5) & (v_max < h_img - 5)
 
     # skip if interval already tight (reference :145-155)
-    skip = have_max & (dist < 1.5)  # setting_trace_slackInterval
+    skip = have_max & (dist < slack_interval)
 
     # OOB on big scale change (:185-192)
     scale_ok = (idepth_min < 0) | ((ptp_min[:, 2] > 0.75) & (ptp_min[:, 2] < 1.5))
@@ -121,15 +131,15 @@ def trace_points(
     a_q = jnp.einsum("ni,nij,nj->n", d_ep, gradH, d_ep)
     b_q = jnp.einsum("ni,nij,nj->n", d_pe, gradH, d_pe)
     error_in_pixel = 0.2 + 0.2 * (a_q + b_q) / jnp.maximum(a_q, 1e-9)
-    bad_condition = (error_in_pixel * 2.0 > dist) & have_max  # minImprovementFactor
+    bad_condition = (error_in_pixel * min_improvement > dist) & have_max
     error_in_pixel = jnp.minimum(error_in_pixel, 10.0)
 
-    # discrete search along the line
-    dxn = dx / jnp.maximum(dist, 1e-9)
-    dyn = dy / jnp.maximum(dist, 1e-9)
+    # discrete search along the line, step length = setting_trace_stepsize px
+    dxn = stepsize * dx / jnp.maximum(dist, 1e-9)
+    dyn = stepsize * dy / jnp.maximum(dist, 1e-9)
     dir_finite = jnp.isfinite(dxn) & jnp.isfinite(dyn)
     dist_c = jnp.minimum(dist, max_pix_search)
-    num_steps = jnp.minimum((1.9999 + dist_c).astype(jnp.int32), n_steps - 1)
+    num_steps = jnp.minimum((1.9999 + dist_c / stepsize).astype(jnp.int32), n_steps - 1)
     rand_shift = u_min * 1000.0 - jnp.floor(u_min * 1000.0)
     ptx = u_min - rand_shift * dxn
     pty = v_min - rand_shift * dyn
@@ -166,9 +176,10 @@ def trace_points(
         (new_quality < quality) | (num_steps > 10), new_quality, quality
     )
 
-    # GN refinement along the line (:318-380), 3 iterations unrolled
+    # GN refinement along the line (:318-380), gn_iters iterations unrolled;
+    # per-point freeze once the step falls under gn_threshold (the loop break)
     def gn_iter(carry, _):
-        bu, bv, be, step_back, ub, vb = carry
+        bu, bv, be, step_back, ub, vb, done = carry
         hx = bu[:, None] + rp[:, :, 0]
         hy = bv[:, None] + rp[:, :, 1]
         hc = interp3(new_dI, hx, hy)
@@ -186,20 +197,25 @@ def trace_points(
         # back-step on worse, GN step on better (:362-392)
         sb_new = jnp.where(worse, step_back * 0.5, jnp.clip(-b / H, -0.5, 0.5))
         sb_new = jnp.where(jnp.isfinite(sb_new), sb_new, 0.0)
-        ub_n = jnp.where(worse, ub, bu)
-        vb_n = jnp.where(worse, vb, bv)
+        sb_new = jnp.where(done, 0.0, sb_new)
+        # once done, freeze at the current (post-step) position, as the
+        # reference's break does; otherwise accept/back-step as usual
+        ub_n = jnp.where(done, bu, jnp.where(worse, ub, bu))
+        vb_n = jnp.where(done, bv, jnp.where(worse, vb, bv))
         bu_n = ub_n + sb_new * dxn
         bv_n = vb_n + sb_new * dyn
-        be_n = jnp.where(worse, be, en)
-        return (bu_n, bv_n, be_n, sb_new, ub_n, vb_n), None
+        be_n = jnp.where(done | worse, be, en)
+        done_n = done | (jnp.abs(sb_new) < gn_threshold)
+        return (bu_n, bv_n, be_n, sb_new, ub_n, vb_n, done_n), None
 
     init = (best_u, best_v, jnp.full_like(best_energy, 1e5),
-            jnp.zeros_like(best_u), best_u, best_v)
-    (best_u, best_v, best_energy, _, _, _), _ = jax.lax.scan(
-        gn_iter, init, None, length=3
+            jnp.zeros_like(best_u), best_u, best_v,
+            jnp.zeros_like(best_u, dtype=bool))
+    (best_u, best_v, best_energy, _, _, _, _), _ = jax.lax.scan(
+        gn_iter, init, None, length=max(gn_iters, 1)
     )
 
-    outlier_e = ~(best_energy < energy_th * 1.2)  # extraSlackOnTH
+    outlier_e = ~(best_energy < energy_th * extra_slack)
 
     # new idepth interval from best position +- errorInPixel (:404-434)
     use_x = dxn * dxn > dyn * dyn
@@ -427,10 +443,15 @@ def set_valid(static, valid):
     return dict(static, valid=valid)
 
 
-@partial(jax.jit, static_argnames=("huber_th", "w_img", "h_img", "F", "M", "n_steps"))
+@partial(jax.jit, static_argnames=(
+    "huber_th", "w_img", "h_img", "F", "M", "n_steps", "stepsize", "gn_iters",
+    "gn_threshold", "slack_interval", "min_improvement", "extra_slack"))
 def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
                  huber_th: float, w_img: int, h_img: int, F: int, M: int,
-                 n_steps: int = _N_STEPS):
+                 n_steps: int = _N_STEPS, stepsize: float = 1.0,
+                 gn_iters: int = 3, gn_threshold: float = 0.1,
+                 slack_interval: float = 1.5, min_improvement: float = 2.0,
+                 extra_slack: float = 1.2):
     """One-call traceNewCoarse over the whole device-resident store."""
     hosts = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
     res = trace_points(
@@ -439,6 +460,9 @@ def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
         trace["status"], trace["quality"], static["energy_th"],
         KRKi, Kt, affs, hosts, max_pix_search_frac,
         huber_th=huber_th, w_img=w_img, h_img=h_img, n_steps=n_steps,
+        stepsize=stepsize, gn_iters=gn_iters, gn_threshold=gn_threshold,
+        slack_interval=slack_interval, min_improvement=min_improvement,
+        extra_slack=extra_slack,
     )
     id_min, id_max, status, quality, interval, _, _ = res
     v = static["valid"]

@@ -59,21 +59,23 @@ class ImageFolderReader:
         # benchmark hooks from Settings (resize: settings.cpp:180-182;
         # per-frame geometric noise: Undistort.cpp:452-495)
         bw = bh = 0
-        bfac = bnoise = 0.0
+        bfac = bnoise = bblur = 0.0
         bgrid = 3
         if settings is not None:
             bw = settings.benchmark_width
             bh = settings.benchmark_height
             bfac = settings.benchmark_fxfyfac
             bnoise = settings.benchmark_var_noise
+            bblur = settings.benchmark_var_blur_noise
             bgrid = settings.benchmark_noise_grid_size
         self.undistorter = Undistorter.from_file(
             calib_file, benchmark_width=bw, benchmark_height=bh,
             benchmark_fxfyfac=bfac,
         )
-        if bnoise > 0:
+        if bnoise > 0 or bblur > 0:
             self.undistorter.set_benchmark_noise(
-                bnoise, bgrid, seed=settings.seed if settings else 0)
+                bnoise, bgrid, seed=settings.seed if settings else 0,
+                var_blur_noise=bblur)
         self.photo = PhotometricUndistorter(
             gamma_file, vignette_file,
             self.undistorter.w_org, self.undistorter.h_org, photometric_mode,

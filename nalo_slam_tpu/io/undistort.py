@@ -103,6 +103,7 @@ class Undistorter:
         self.w_org, self.h_org = in_size
         self.w, self.h = out_size
         self.benchmark_var_noise = 0.0
+        self.benchmark_var_blur_noise = 0.0
         self.benchmark_noise_grid = 3
         self._noise_rng = None
         params = np.array(params, np.float64)
@@ -246,15 +247,56 @@ class Undistorter:
         self.remap_y = ry
         self._bad = bad
 
-    def set_benchmark_noise(self, var_noise: float, grid: int = 3, seed: int = 0):
+    def set_benchmark_noise(self, var_noise: float, grid: int = 3, seed: int = 0,
+                            var_blur_noise: float = 0.0):
         """Arm per-frame geometric-noise injection for robustness
         benchmarks (reference Undistort.cpp:452-495): each undistorted
         frame draws a FRESH (grid+8)^2 random shift field, the output
         pixel position is bicubically perturbed by it, and the remap
-        table is re-sampled at the shifted position."""
+        table is re-sampled at the shifted position.  var_blur_noise
+        additionally arms the spatially-varying separable blur
+        (applyBlurNoise, Undistort.cpp:536-633)."""
         self.benchmark_var_noise = float(var_noise)
+        self.benchmark_var_blur_noise = float(var_blur_noise)
         self.benchmark_noise_grid = int(grid)
         self._noise_rng = np.random.default_rng(seed)
+
+    def _apply_blur_noise(self, img: np.ndarray) -> np.ndarray:
+        """Spatially-varying separable blur with per-position sigma sampled
+        bicubically from a random grid (reference applyBlurNoise,
+        Undistort.cpp:536-633).  Vectorized over kernel offsets."""
+        var = self.benchmark_var_blur_noise
+        g = self.benchmark_noise_grid
+        h, w = img.shape
+        nmx = self._noise_rng.uniform(0.0, var, (g + 8, g + 8))
+        nmy = self._noise_rng.uniform(0.0, var, (g + 8, g + 8))
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64), indexing="ij")
+        sx = 4.0 + (xx / w) * g
+        sy = 4.0 + (yy / h) * g
+        sig_x = np.maximum(_bicubic_interp(nmx, sx, sy), 0.01)
+        sig_y = np.maximum(_bicubic_interp(nmy, sx, sy), 0.01)
+
+        def blur_axis(src, sig, kmax, axis):
+            sumw = np.zeros_like(src)
+            sumcw = np.zeros_like(src)
+            for d in range(kmax + 1):
+                gw = np.exp(-np.minimum(d / sig, 9.0) ** 2)
+                for sgn in ((1,) if d == 0 else (1, -1)):
+                    sh = np.roll(src, -sgn * d, axis=axis)
+                    valid = np.ones_like(src, dtype=bool)
+                    idx = (yy if axis == 0 else xx) + sgn * d
+                    lim = h if axis == 0 else w
+                    valid &= (idx > 0) & (idx < lim)
+                    sumw += np.where(valid, gw, 0.0)
+                    sumcw += np.where(valid, gw * sh, 0.0)
+            return sumcw / np.maximum(sumw, 1e-12)
+
+        kx = 1 + int(1.0 + var * 1.5)
+        ky = 1 + int(0.9 + var * 2.5)
+        tmp = blur_axis(img.astype(np.float64), sig_x, kx, axis=1)
+        out = blur_axis(tmp, sig_y, ky, axis=0)
+        return out.astype(np.float32)
 
     def _noisy_remap(self):
         """One frame's perturbed remap tables (fresh noise each call)."""
@@ -313,6 +355,8 @@ class Undistorter:
                 + img[y0 + 1, x0 + 1] * dx * dy
             ).astype(np.float32)
         out[bad] = 0
+        if getattr(self, "benchmark_var_blur_noise", 0.0) > 0:
+            out = self._apply_blur_noise(out)
         return out
 
     def resize_nearest(self, img: np.ndarray) -> np.ndarray:

@@ -95,7 +95,11 @@ def run(argv: list[str]) -> int:
     )
     start = int(extras.get("start", 0))
     end = min(int(extras.get("end", 1 << 30)), len(reader))
-    speed = float(extras.get("speed", 0))  # 0 = as fast as possible
+    # preset playback-speed defaults (main_dso_pangolin.cpp:113/:134):
+    # preset 1 enforces 1x real time, preset 3 enforces 5x; explicit
+    # speed= overrides.  0 = as fast as possible.
+    preset_speed = {1: 1.0, 3: 5.0}.get(int(extras.get("preset", -1)), 0.0)
+    speed = float(extras.get("speed", preset_speed))
 
     metrics = MetricsLogger(extras.get("log"))
     sys_ = build_system(settings, reader, metrics)

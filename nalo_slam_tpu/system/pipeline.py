@@ -115,8 +115,10 @@ class PipelinedSystem:
                             fs.discard_frame(drop)
                 else:
                     # queue drained: keyframe iff a request arrived while
-                    # tracking against the current latest KF (:1236-1247)
-                    if self._need_kf_after >= fs.all_kf_shells[-1].id:
+                    # tracking against the current latest KF, or in
+                    # take-every-KF mode (setting_realTimeMaxKF, :1235)
+                    if (fs.s.real_time_max_kf
+                            or self._need_kf_after >= fs.all_kf_shells[-1].id):
                         fs.map_frame(frame, True)
                         catchup = False
                     else:

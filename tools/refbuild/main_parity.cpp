@@ -49,7 +49,8 @@ static void applyPreset(int preset) {
     setting_minOptIterations = 1;
     benchmarkSetting_width = 424;
     benchmarkSetting_height = 320;
-  } else if (preset == 4 || preset == 5) {
+  }
+  if (preset == 4 || preset == 5) {
     if (preset == 5) {
       setting_desiredImmatureDensity = 4000;
       setting_desiredPointDensity = 5000;
@@ -63,7 +64,8 @@ static void applyPreset(int preset) {
     setting_maxOptIterations = 6;
     setting_minOptIterations = 1;
   }
-  setting_logStuff = false;
+  // (logStuff is NOT touched here: the nolog= arg controls it, and unlike
+  //  the upstream main our presets are applied after argument parsing)
 }
 
 static void applyMode(int mode) {
@@ -117,6 +119,7 @@ int main(int argc, char** argv) {
   dense_track = 0;
   setPlaneOptimize = false;
   denseMapping = false;
+  setting_logStuff = false;  // nolog=0 re-enables (logs/ must exist in cwd)
 
   for (int i = 1; i < argc; ++i) parseArg(argv[i]);
   applyPreset(a_preset);

@@ -13,7 +13,37 @@
 
 namespace boost {
 
-using thread = std::thread;
+// boost::thread tolerates join() on a non-joinable thread (the reference
+// double-joins via blockUntilMappingIsFinished + the destructor); std::thread
+// throws, so wrap it.
+class thread {
+ public:
+  thread() noexcept = default;
+  template <class F, class... A,
+            class = typename std::enable_if<
+                !std::is_same<typename std::decay<F>::type, thread>::value>::type>
+  explicit thread(F&& f, A&&... a)
+      : t_(std::forward<F>(f), std::forward<A>(a)...) {}
+  thread(thread&&) noexcept = default;
+  thread& operator=(thread&& o) noexcept {
+    if (t_.joinable()) t_.join();
+    t_ = std::move(o.t_);
+    return *this;
+  }
+  ~thread() {
+    if (t_.joinable()) t_.join();
+  }
+  void join() {
+    if (t_.joinable()) t_.join();
+  }
+  void detach() {
+    if (t_.joinable()) t_.detach();
+  }
+  bool joinable() const { return t_.joinable(); }
+
+ private:
+  std::thread t_;
+};
 using mutex = std::mutex;
 using recursive_mutex = std::recursive_mutex;
 template <class M> using unique_lock = std::unique_lock<M>;
