@@ -70,43 +70,69 @@ def associate(t_a, xyz_a, t_b, xyz_b, max_dt=0.05):
 
 
 def main(argv):
+    import json
+
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     out_dir = kv.pop("out", "/tmp/parity")
     os.makedirs(out_dir, exist_ok=True)
     ref_path = kv.pop("ref", None)
     gt_path = kv.pop("gt", None)
-    ours_path = os.path.join(out_dir, "ours.txt")
+    skip_run = kv.pop("skip_run", None)
+    ours_path = kv.pop("ours", os.path.join(out_dir, "ours.txt"))
 
-    cli = [sys.executable, "-m", "nalo_slam_tpu.main",
-           *[f"{k}={v}" for k, v in kv.items()],
-           "mode=1", f"output={ours_path}"]
-    print("+", " ".join(cli))
-    subprocess.run(cli, check=True)
+    if not skip_run:
+        cli = [sys.executable, "-m", "nalo_slam_tpu.main",
+               *[f"{k}={v}" for k, v in kv.items()],
+               "mode=1", f"output={ours_path}"]
+        print("+", " ".join(cli))
+        subprocess.run(cli, check=True)
 
     t_o, xyz_o = load_tum(ours_path)
-    report = {}
-    if ref_path:
-        t_r, xyz_r = load_tum(ref_path)
-        a, b = associate(t_o, xyz_o, t_r, xyz_r)
-        report["ate_ours_vs_reference_m"] = ate_rmse(a, b)
-        report["n_associated"] = len(a)
+    report = {"n_ours_poses": len(t_o)}
+    # NOTE alignment direction: ate_rmse(a, b) Sim3-aligns a ONTO b and
+    # reports RMSE in b's scale.  Monocular scale is arbitrary, so every
+    # number below is reported in the GT (metric) frame when gt= is given,
+    # and in the reference's frame otherwise -- never in ours.
     if gt_path:
         t_g, xyz_g = load_gt(gt_path)
         if t_g is None:  # KITTI: frame-indexed; our timestamps are seconds
-            ids = np.arange(len(xyz_g))
-            a, b = associate(t_o, xyz_o, ids.astype(float), xyz_g, max_dt=0.5)
-        else:
-            a, b = associate(t_o, xyz_o, t_g, xyz_g)
+            t_g = np.arange(len(xyz_g)).astype(float)
+        a, b = associate(t_o, xyz_o, t_g, xyz_g)
         report["ate_ours_vs_gt_m"] = ate_rmse(a, b)
+        report["n_ours_gt_pairs"] = len(a)
         if ref_path:
             t_r, xyz_r = load_tum(ref_path)
-            if t_g is None:
-                a, b = associate(t_r, xyz_r, ids.astype(float), xyz_g, max_dt=0.5)
-            else:
-                a, b = associate(t_r, xyz_r, t_g, xyz_g)
+            a, b = associate(t_r, xyz_r, t_g, xyz_g)
             report["ate_reference_vs_gt_m"] = ate_rmse(a, b)
+            report["n_ref_gt_pairs"] = len(a)
+            # ours-vs-gt restricted to the frames ours actually produced
+            # (an early-terminated run must not be compared on full-run ATE)
+            sel = np.isin(np.round(t_r, 3), np.round(t_o, 3))
+            if sel.any():
+                a2, b2 = associate(t_r[sel], xyz_r[sel], t_g, xyz_g)
+                report["ate_reference_vs_gt_common_m"] = ate_rmse(a2, b2)
+    if ref_path:
+        t_r, xyz_r = load_tum(ref_path)
+        a, b = associate(t_o, xyz_o, t_r, xyz_r)
+        # aligned onto the reference; if gt was given, rescale the number
+        # into metres via the reference->gt Sim3 scale
+        ate_in_ref = ate_rmse(a, b)
+        report["ate_ours_vs_reference"] = ate_in_ref
+        report["n_ours_ref_pairs"] = len(a)
+        if gt_path:
+            from nalo_slam_tpu.utils.evaluate import umeyama
+            t_g, xyz_g = load_gt(gt_path)
+            if t_g is None:
+                t_g = np.arange(len(xyz_g)).astype(float)
+            ra, gb = associate(t_r, xyz_r, t_g, xyz_g)
+            s_ref_to_gt, _, _ = umeyama(ra, gb, True)
+            report["ate_ours_vs_reference_m"] = ate_in_ref * s_ref_to_gt
+            report["ref_to_gt_scale"] = s_ref_to_gt
     for k, v in report.items():
         print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"report -> {out_dir}/parity_report.json")
     return 0
 
 
