@@ -312,13 +312,14 @@ class FullSystem:
         raff = jnp.zeros(2, f32)
         eye = jnp.eye(3, dtype=f32)
         fn0 = self._get_track_fn(False, 0)
-        outs.append(fn0(eye, jnp.zeros(3, f32), jnp.zeros(2, f32),
-                        tuple(maps), colors, dIs, exps, raff))
+        packed0 = fn0(eye, jnp.zeros(3, f32), jnp.zeros(2, f32),
+                      tuple(maps), colors, dIs, exps, raff)
+        outs.append(packed0)
         nh = 31   # _motion_hypotheses always yields 5 + 26 candidates
         fnr = self._get_retrack_fn()
         outs.append(fnr(jnp.broadcast_to(eye, (nh, 3, 3)).copy(),
                         jnp.zeros((nh, 3), f32), jnp.zeros((nh, 2), f32),
-                        tuple(maps), colors, dIs, exps, raff))
+                        tuple(maps), colors, dIs, exps, raff, packed0))
         jax.block_until_ready(outs)
 
     # ==================================================================
@@ -576,9 +577,14 @@ class FullSystem:
 
     def _get_retrack_fn(self):
         """The whole re-track ladder as ONE program: batched coarse triage
-        of all 31 hypotheses, device argmin, full descent from the winner
-        (reference FullSystem.cpp:516-656).  One pull instead of three.
-        Output = packed full-descent result + [ok&had, had] flags."""
+        of all 31 hypotheses, full descent on the top-3 triage candidates,
+        winner = best LEVEL-0 residual among those full descents AND the
+        already-computed fast-path h0 descent.  This mirrors the reference's
+        best-of-full-descents selection (FullSystem.cpp:599-656: each try is
+        a full pyramid descent, the winner is the best lastResiduals[0]) --
+        a coarse-level argmin alone can crown a hypothesis (e.g. the
+        zero-motion-from-KF try) that loses at full resolution.
+        Output = packed winner + [ok&had, had] flags."""
         key = ("retrack",)
         if key not in self._track_fns:
             ml = min(2, self.calib.levels - 1)
@@ -586,34 +592,54 @@ class FullSystem:
                                    self._affine_mode, min_level=ml)
             full = make_track_fn(self.shapes, self.Ks, self.s,
                                  self._affine_mode, min_level=0)
+            TOPK = 3
 
             def retrack(Rs, ts, abs_, ref_maps, ref_colors, new_dIs, exps,
-                        ref_aff):
+                        ref_aff, packed_h0):
                 Rb, tb, abb, resb, _fl, okb = jax.vmap(
                     coarse, in_axes=(0, 0, 0, None, None, None, None, None)
                 )(Rs, ts, abs_, ref_maps, ref_colors, new_dIs, exps, ref_aff)
                 score = jnp.where(okb & jnp.isfinite(resb[:, ml]),
                                   resb[:, ml], jnp.inf)
-                bi = jnp.argmin(score)
-                had = jnp.isfinite(score[bi])
-                R1, t1, ab1, res1, flow1, ok1 = full(
-                    Rb[bi], tb[bi], abb[bi], ref_maps, ref_colors, new_dIs,
-                    exps, ref_aff)
+                _, topi = jax.lax.top_k(-score, TOPK)
+                Rk, tk, abk, resk, flowk, okk = jax.vmap(
+                    full, in_axes=(0, 0, 0, None, None, None, None, None)
+                )(Rb[topi], tb[topi], abb[topi], ref_maps, ref_colors,
+                  new_dIs, exps, ref_aff)
+                # fast-path h0 full-descent result as the (TOPK+1)-th candidate
+                L = resk.shape[-1]
+                R0 = packed_h0[:9].reshape(3, 3)
+                t0 = packed_h0[9:12]
+                ab0 = packed_h0[12:14]
+                res0 = packed_h0[14:14 + L]
+                flow0 = packed_h0[14 + L:16 + L]
+                ok0 = packed_h0[16 + L] > 0.5
+                Rk = jnp.concatenate([Rk, R0[None]], 0)
+                tk = jnp.concatenate([tk, t0[None]], 0)
+                abk = jnp.concatenate([abk, ab0[None]], 0)
+                resk = jnp.concatenate([resk, res0[None]], 0)
+                flowk = jnp.concatenate([flowk, flow0[None]], 0)
+                okk = jnp.concatenate([okk, ok0[None]], 0)
+                s0 = jnp.where(okk & jnp.isfinite(resk[:, 0]),
+                               resk[:, 0], jnp.inf)
+                bi = jnp.argmin(s0)
+                had = jnp.isfinite(s0[bi])
                 return jnp.concatenate([
-                    R1.reshape(-1), t1, ab1, res1, flow1,
-                    (ok1 & had).astype(jnp.float32)[None],
+                    Rk[bi].reshape(-1), tk[bi], abk[bi], resk[bi], flowk[bi],
+                    (okk[bi] & had).astype(jnp.float32)[None],
                     had.astype(jnp.float32)[None],
                 ])
 
             self._track_fns[key] = jax.jit(retrack)
         return self._track_fns[key]
 
-    def _run_retrack(self, Rs, ts, abs_, new_dIs, ref):
+    def _run_retrack(self, Rs, ts, abs_, new_dIs, ref, packed_h0):
         exps = jnp.asarray([ref["exposure"], self._cur_exposure], jnp.float32)
         ref_aff = jnp.asarray(ref["aff"], jnp.float32)
         return self._get_retrack_fn()(
             jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_),
-            ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
+            ref["maps"], ref["colors"], new_dIs, exps, ref_aff,
+            jnp.asarray(packed_h0))
 
     def _track_h0_inputs(self, frame):
         """Prologue of trackNewCoarse: motion hypotheses + affine init,
@@ -652,15 +678,18 @@ class FullSystem:
         best = (R.astype(np.float64), t.astype(np.float64),
                 ab.astype(np.float64), res, flow)
         good = bool(ok) and np.isfinite(res[0])
-        if not (good and res[0] < self.last_coarse_rmse[0] * self.s.re_track_threshold):
+        if (not (good and res[0] < self.last_coarse_rmse[0] * self.s.re_track_threshold)
+                and len(tries) >= 3):
             n = len(tries)
             Rs = np.stack([x.Rt32()[0] for x in tries])
             ts = np.stack([x.Rt32()[1] for x in tries])
             abs_ = np.tile(aff0, (n, 1))
             # two-stage ladder as ONE device program: coarse triage of all
-            # hypotheses, device argmin, full descent from the winner
+            # hypotheses, full descent on the top-3, winner by level-0
+            # residual among those and the fast-path h0 descent
             packed_w = np.asarray(self._run_retrack(Rs, ts, abs_,
-                                                    frame["dIs"], ref))
+                                                    frame["dIs"], ref,
+                                                    packed))
             had = packed_w[-1] > 0.5
             if had:
                 Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(
@@ -687,10 +716,11 @@ class FullSystem:
             shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
         # lastCoarseRMSE = this frame's achieved residuals (reference :668);
-        # NOT a running min -- that would tighten the fast-path gate forever
-        ach = np.where(np.isfinite(resw[: len(self.last_coarse_rmse)]),
-                       resw[: len(self.last_coarse_rmse)], 100.0)
-        self.last_coarse_rmse = ach
+        # NOT a running min -- that would tighten the fast-path gate forever.
+        # After a BIG ERROR the reference leaves it NaN, which forces the
+        # NEXT frame through the full ladder (NaN fails the fast-path gate,
+        # FullSystem.cpp:655); do the same instead of clamping to a value.
+        self.last_coarse_rmse = resw[: len(self.last_coarse_rmse)].copy()
         if self.s.log_stuff:
             # coarseTrackingLog stream (reference FullSystem.cpp:684-695)
             self.metrics.log(
