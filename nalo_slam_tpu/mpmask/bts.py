@@ -57,12 +57,17 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool):
         inner = self.groups * self.width * (self.out_ch // 256 if self.out_ch >= 256 else 1)
         inner = max(inner, self.out_ch // 2)
+        # torch-convention padding ((1,1) both sides on the 3x3, even when
+        # strided) and BN eps 1e-5 so torchvision resnext101_32x8d weights
+        # convert with exact numerics (short_bts.py:254-306 encoder;
+        # mpmask/convert.py)
         norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                                    epsilon=1.1e-5, dtype=self.dtype)
+                                    epsilon=1e-5, dtype=self.dtype)
         h = nn.Conv(inner, (1, 1), use_bias=False, dtype=self.dtype)(x)
         h = norm()(h)
         h = nn.relu(h)
         h = nn.Conv(inner, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)),
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype)(h)
         h = norm()(h)
@@ -85,13 +90,17 @@ class Encoder(nn.Module):
     def __call__(self, x, train: bool):
         c = self.cfg
         norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                                    epsilon=1.1e-5, dtype=c.dtype)
-        h = nn.Conv(c.stage_channels[0], (7, 7), strides=(2, 2), use_bias=False,
+                                    epsilon=1e-5, dtype=c.dtype)
+        # conv1 pad 3/3 and maxpool pad 1/1 per the torch stem, so converted
+        # torchvision weights reproduce activations exactly
+        h = nn.Conv(c.stage_channels[0], (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=c.dtype)(x)
         h = norm()(h)
         h = nn.relu(h)
         skips = [h]                                  # H/2
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+        h = nn.max_pool(h, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         for si, (ch, nblocks) in enumerate(zip(c.stage_channels[1:], c.stage_blocks)):
             for bi in range(nblocks):
                 stride = 2 if (bi == 0 and si > 0) else 1
