@@ -21,9 +21,13 @@ from nalo_slam_tpu.geometry import SE3  # noqa: E402
 from nalo_slam_tpu.utils.synthetic import GroundWallScene, default_calib  # noqa: E402
 
 
-def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3):
+def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
+         amp_a=0.08, amp_b=3.0, noise=1.2):
     os.makedirs(f"{outdir}/images", exist_ok=True)
     os.makedirs(f"{outdir}/masks", exist_ok=True)
+    # the reference reads a color image for every frame unconditionally
+    # (DatasetReader.h:305); 3-channel copies of the gray render suffice
+    os.makedirs(f"{outdir}/colors", exist_ok=True)
     calib = default_calib(w, h)
     scene = GroundWallScene(calib, y0=1.5, z_wall=30.0)
     rng = np.random.default_rng(seed)
@@ -43,13 +47,26 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3):
         poses.append(np.concatenate([T.t, T.log()[3:]]))
         img, _idep, mask = scene.render(T)
         # Per-frame affine brightness drift (exercises the AffLight estimate)
-        a = 0.08 * np.sin(0.05 * k)
-        b = 3.0 * np.sin(0.03 * k)
+        a = amp_a * np.sin(0.05 * k)
+        b = amp_b * np.sin(0.03 * k)
         img = np.exp(a) * img + b
-        img = np.clip(img + rng.normal(scale=1.2, size=img.shape), 0, 255).astype(np.uint8)
+        if noise > 0:
+            img = img + rng.normal(scale=noise, size=img.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
         cv2.imwrite(f"{outdir}/images/{k:06d}.png", img)
         cv2.imwrite(f"{outdir}/masks/{k:06d}.png", mask.astype(np.uint8))
+        cv2.imwrite(f"{outdir}/colors/{k:06d}.png", cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
     np.save(f"{outdir}/gt.npy", np.array(poses))
+    # TUM-format gt (t x y z qx qy qz qw), camToWorld like DSO's result.txt
+    with open(f"{outdir}/gt.txt", "w") as f:
+        for k, p in enumerate(poses):
+            R = SE3.exp(np.concatenate([np.zeros(3), p[3:]])).R
+            qw = 0.5 * np.sqrt(max(1.0 + np.trace(R), 1e-12))
+            qx = (R[2, 1] - R[1, 2]) / (4 * qw)
+            qy = (R[0, 2] - R[2, 0]) / (4 * qw)
+            qz = (R[1, 0] - R[0, 1]) / (4 * qw)
+            f.write(f"{0.1 * k:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n")
     # times.txt (id timestamp exposure): the reference zeroes all timestamps
     # without it (DatasetReader.h:317-380), which breaks trajectory matching.
     with open(f"{outdir}/times.txt", "w") as f:
@@ -65,4 +82,6 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3):
 
 if __name__ == "__main__":
     kv = dict(a.split("=", 1) for a in sys.argv[1:])
-    make(kv.get("outdir", "/tmp/pds"), int(kv.get("frames", "350")))
+    make(kv.get("outdir", "/tmp/pds"), int(kv.get("frames", "350")),
+         amp_a=float(kv.get("amp_a", "0.08")), amp_b=float(kv.get("amp_b", "3.0")),
+         noise=float(kv.get("noise", "1.2")))
