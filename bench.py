@@ -90,20 +90,18 @@ def main():
         # render trips the re-track ladder constantly)
         frames.append(img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
     # the tunneled link's round-trip latency drifts minute-to-minute; run
-    # the (untrimmed) measurement twice and report the better pass, with
-    # both runs in the record -- each pass is still a full honest run
+    # the (untrimmed) measurement three times and report the MEDIAN pass
+    # with the full spread in the record -- each pass is a full honest run
     # (pipelined, KFs + drain included, nothing trimmed within a pass)
-    fps_runs = []
-    best = None
-    for _ in range(2):
+    runs = []
+    for _ in range(3):
         fps, metrics = _run(
             _settings(use_lidar=False, dense_track=False, plane_optimize=False),
             calib, frames,
         )
-        fps_runs.append(round(fps, 2))
-        if best is None or fps > best[0]:
-            best = (fps, metrics)
-    fps, metrics = best
+        runs.append((fps, metrics))
+    fps_runs = sorted(round(f, 2) for f, _ in runs)
+    fps, metrics = sorted(runs, key=lambda r: r[0])[len(runs) // 2]
     summ = metrics.summary()
     kf_stage = summ.get("kf_stage_ms_median", {})
     kf_ms = kf_stage.get("total", 0.0)
@@ -126,6 +124,20 @@ def main():
     except Exception:
         nalo_fps = 0.0
 
+    # --- pass 3: preset-0 operating point (P=16384, M=4096, densities
+    # 5000/4000 -- the reference's default NALO design point) ---
+    try:
+        from nalo_slam_tpu.config import Settings, preset as _preset
+
+        s0 = _preset(0, Settings()).replace(
+            use_lidar=False, dense_track=False, plane_optimize=False)
+        p0_fps, p0_metrics = _run(s0, calib, frames, warmup=20)
+        p0_stage = p0_metrics.summary().get("kf_stage_ms_median", {})
+        p0_kf_ms = p0_stage.get("total", 0.0)
+        p0_kf_ba_ms = p0_stage.get("optimize", 0.0)
+    except Exception:
+        p0_fps, p0_kf_ms, p0_kf_ba_ms = 0.0, 0.0, 0.0
+
     print(json.dumps({
         "metric": "tracked_fps_synthetic_320x240",
         "value": round(fps, 2),
@@ -135,6 +147,9 @@ def main():
         "kf_ba_ms": round(kf_ba_ms, 1),
         "nalo_fps": round(nalo_fps, 2),
         "fps_runs": fps_runs,
+        "preset0_fps": round(p0_fps, 2),
+        "preset0_kf_ms": round(p0_kf_ms, 1),
+        "preset0_kf_ba_ms": round(p0_kf_ba_ms, 1),
     }))
 
 

@@ -421,7 +421,10 @@ def make_final_fix(settings, F: int, P: int):
         )
         fix = updj
         jstore2["res_toZero"] = jnp.where(fix[..., None], rtz, jstore["res_toZero"])
-        new_linearized = res["linearized"] | fix
+        # residuals stay NON-linearized: the reference re-linearizes every
+        # window residual fresh each KF ("0 lin res"); fixLinearizationF is
+        # marg-only.  res_toZero above is still stored for the marg fold.
+        new_linearized = res["linearized"]
         # drop active residuals that did not make it
         bad = act & (new_state != RES_IN)
         exists = res["exists"] & ~bad
@@ -701,7 +704,8 @@ def make_device_optimizer_fused(settings, F: int, P: int):
         )
         jstore3["res_toZero"] = jnp.where(updj[..., None], rtz,
                                           jstore2["res_toZero"])
-        new_linearized = res2["linearized"] | updj
+        # marg-only linearization: see the note in the in-loop fix above
+        new_linearized = res2["linearized"]
         bad = act & (new_state != RES_IN)
         exists = res2["exists"] & ~bad
         # recorded pre-drop state for the lastResiduals bookkeeping

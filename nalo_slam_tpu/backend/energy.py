@@ -360,7 +360,14 @@ class WindowOptimizer:
                 jnp.asarray(p.host), jnp.asarray(self.c_delta(), jnp.float32),
                 jnp.asarray(p.idepth - p.idepth_zero), mask,
             )
-            p.r_linearized = p.r_linearized | (active_set & (p.r_state == RES_IN))
+            # NOTE: residuals are NOT flagged linearized here.  In the
+            # reference, fixLinearizationF runs ONLY on residuals of points
+            # being marginalized (FullSystem.cpp:978-989); every window
+            # residual is re-linearized fresh each keyframe ("0 lin res" in
+            # its OPTIMIZE log lines).  Latching r_linearized at fix time
+            # froze the whole window into stale linear approximations --
+            # the round-3 accuracy root cause.  res_toZero (stored above)
+            # is still captured for the point-marg fold.
             # drop residuals that did not make it (toRemove, :172-206)
             bad = active_set & (p.r_state != RES_IN)
             removed = bad
@@ -723,7 +730,13 @@ class WindowOptimizer:
         # defer the D2H pull: the fold into HM/bM is additive and nothing
         # reads HM/bM until the next keyframe's GN (or a frame marg, which
         # resolves first through the HM property) -- so the mapping thread
-        # does not block here
+        # does not block here.  Start the transfer NOW so it overlaps the
+        # host work between here and the next HM read (the resolve used to
+        # pay the full device-queue wait + pull inside marg_frames).
+        try:
+            flat_dev.copy_to_host_async()
+        except AttributeError:
+            pass
         self._pending_marg.append((flat_dev, CPARS + self.n_frames * 8))
         self.pts.remove(np.nonzero(sel)[0])
 

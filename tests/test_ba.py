@@ -158,3 +158,38 @@ class TestBAConvergence:
         assert np.linalg.norm(opt.HM - hm_before) > 0
         # HM stays symmetric
         np.testing.assert_allclose(opt.HM, opt.HM.T, atol=1e-3)  # f32 accumulation asymmetry
+
+
+class TestNoLinearizationLatch:
+    """Round-3 regression: residuals must NOT be latched into the fixed
+    (L) system at fix time.  The reference re-linearizes every window
+    residual fresh each keyframe ("0 lin res" in its OPTIMIZE log,
+    FullSystemOptimize.cpp:398-434); fixLinearizationF runs only on the
+    residuals of points being marginalized (FullSystem.cpp:978-989).
+    Latching froze the window into stale linear approximations, inflating
+    the energy with baseline and collapsing the point population."""
+
+    def test_fix_does_not_latch_residuals(self):
+        opt, gt, _, slots = build_window(n_frames=3, pose_perturb=3e-3)
+        opt.optimize(6)          # host path: includes linearizeAll(fix=True)
+        p = opt.pts
+        assert p.r_linearized.sum() == 0, (
+            "fix latched residuals into the L system; the reference keeps "
+            "0 linearized residuals in the live window")
+
+    def test_device_fix_does_not_latch_residuals(self):
+        opt, gt, _, slots = build_window(n_frames=3, pose_perturb=3e-3)
+        opt.optimize_device(6)
+        p = opt.pts
+        assert p.r_linearized.sum() == 0
+
+    def test_second_optimize_relinearizes_everything(self):
+        """After one optimize, a second optimize must treat every existing
+        residual as active (re-linearized fresh), like the reference's
+        activeResiduals collection."""
+        opt, gt, _, slots = build_window(n_frames=3, pose_perturb=3e-3)
+        opt.optimize(6)
+        p = opt.pts
+        n_exist = int((p.r_exists & p.active[:, None]).sum())
+        opt.optimize(3)
+        assert opt.res_in_a > 0.9 * n_exist
