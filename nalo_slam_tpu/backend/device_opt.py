@@ -531,18 +531,20 @@ _FUSED_CACHE: dict = {}
 
 
 def gn_flat_layout(F: int, P: int):
-    """Field layout of the single flat f32 H2D push feeding the fused GN
-    program.  ~30 small per-KF pushes (each paying host dispatch overhead
-    on the link) become ONE concatenated array; the device side slices it
-    back apart inside the jit, where the reshapes/casts are free."""
+    """Field layout of the flat f32 H2D push feeding the fused GN program.
+
+    Only the per-KF DYNAMIC state rides in f32 here.  The residual flag
+    grids travel as a separate packed-uint8 push (gn_u8_layout: 1 byte
+    instead of 4 f32 per residual slot), and the per-point STATIC data
+    (u/v/color/weights/energy_th -- written once at insertion) lives
+    device-resident (WindowOptimizer._pts_static) and is never re-pushed.
+    At the preset-0 operating point (P=16384, F=8) this cuts the per-KF
+    H2D volume from ~3.8 MB to ~0.6 MB -- on the ~10-20 MB/s tunneled
+    link that is the difference between ~250 ms and ~40 ms of transfer."""
     n = CPARS + 8 * F
     fields = [
-        ("u", (P,)), ("v", (P,)), ("idepth", (P,)), ("idepth_zero", (P,)),
-        ("color", (P, 8)), ("weights", (P, 8)), ("host", (P,)),
-        ("energy_th", (P,)), ("prior", (P,)), ("active", (P,)),
-        ("idepth_hessian", (P,)),
-        ("r_exists", (P, F)), ("r_state", (P, F)), ("r_active", (P, F)),
-        ("r_linearized", (P, F)),
+        ("idepth", (P,)), ("idepth_zero", (P,)),
+        ("prior", (P,)), ("idepth_hessian", (P,)),
         ("states0", (F, 10)), ("calib0", (4,)), ("f_eth0", (F,)),
         ("evalR", (F, 3, 3)), ("evalt", (F, 3)), ("state_zero", (F, 10)),
         ("exposures", (F,)), ("aff0_b", (F,)), ("frame_prior", (F, 8)),
@@ -561,9 +563,31 @@ def gn_flat_layout(F: int, P: int):
     return offsets, o
 
 
-def _gn_unflatten(flat, r_energy, F, P):
-    """Slice the flat push back into (pts, res, states0, calib0, f_eth0,
-    inp) inside the jit."""
+def gn_u8_layout(F: int, P: int):
+    """uint8 push: [res_bits (P,F) | active (P,) | host (P,)].
+    res_bits bit layout matches the pull side: exists | state<<1 |
+    active<<3 | linearized<<4."""
+    return P * F + P + P
+
+
+def pack_res_u8(pts, F, P):
+    """Host-side uint8 packing of the residual grids + active/host."""
+    bits = (
+        pts.r_exists.astype(np.uint8)
+        + (pts.r_state.astype(np.uint8) << 1)
+        + (pts.r_active.astype(np.uint8) << 3)
+        + (pts.r_linearized.astype(np.uint8) << 4)
+    )
+    return np.concatenate([
+        bits.reshape(-1),
+        pts.active.astype(np.uint8),
+        pts.host.astype(np.uint8),
+    ])
+
+
+def _gn_unflatten(flat, flat_u8, pts_static, r_energy, F, P):
+    """Reassemble (pts, res, states0, calib0, f_eth0, inp) inside the jit
+    from the f32 push + u8 push + device-resident static point store."""
     offsets, _ = gn_flat_layout(F, P)
 
     def g(name, dtype=None):
@@ -571,15 +595,20 @@ def _gn_unflatten(flat, r_energy, F, P):
         a = jax.lax.dynamic_slice(flat, (o,), (int(np.prod(shape)),)).reshape(shape)
         return a if dtype is None else a.astype(dtype)
 
+    bits = jax.lax.dynamic_slice(flat_u8, (0,), (P * F,)).reshape(P, F)
+    active = jax.lax.dynamic_slice(flat_u8, (P * F,), (P,))
+    host = jax.lax.dynamic_slice(flat_u8, (P * F + P,), (P,))
     pts = dict(
-        u=g("u"), v=g("v"), idepth=g("idepth"), idepth_zero=g("idepth_zero"),
-        color=g("color"), weights=g("weights"), host=g("host", jnp.int32),
-        energy_th=g("energy_th"), prior=g("prior"), active=g("active", bool),
-        idepth_hessian=g("idepth_hessian"),
+        pts_static,
+        idepth=g("idepth"), idepth_zero=g("idepth_zero"),
+        host=host.astype(jnp.int32), prior=g("prior"),
+        active=active.astype(bool), idepth_hessian=g("idepth_hessian"),
     )
     res = dict(
-        exists=g("r_exists", bool), state=g("r_state", jnp.int32),
-        active=g("r_active", bool), linearized=g("r_linearized", bool),
+        exists=(bits & 1).astype(bool),
+        state=((bits >> 1) & 3).astype(jnp.int32),
+        active=((bits >> 3) & 1).astype(bool),
+        linearized=((bits >> 4) & 1).astype(bool),
         energy=r_energy,
     )
     inp = dict(
@@ -592,6 +621,21 @@ def _gn_unflatten(flat, r_energy, F, P):
         c_prior=g("c_prior"),
     )
     return pts, res, g("states0"), g("calib0"), g("f_eth0"), inp
+
+
+@jax.jit
+def scatter_pts_static(dev, idx, u, v, color, weights, energy_th):
+    """Scatter freshly inserted points' static rows into the
+    device-resident store.  idx rows padded with P (out of bounds) are
+    dropped by the scatter mode."""
+    return dict(
+        dev,
+        u=dev["u"].at[idx].set(u, mode="drop"),
+        v=dev["v"].at[idx].set(v, mode="drop"),
+        color=dev["color"].at[idx].set(color, mode="drop"),
+        weights=dev["weights"].at[idx].set(weights, mode="drop"),
+        energy_th=dev["energy_th"].at[idx].set(energy_th, mode="drop"),
+    )
 
 
 def make_device_optimizer_fused(settings, F: int, P: int):
@@ -756,9 +800,10 @@ def make_device_optimizer_fused(settings, F: int, P: int):
                     center_newest=center_newest, newR=newR, newt=newt)
 
     @jax.jit
-    def optimize_flat(images, jstore, flat_in, r_energy, max_iters, newest):
+    def optimize_flat(images, jstore, flat_in, flat_u8, pts_static,
+                      r_energy, max_iters, newest):
         pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
-            flat_in, r_energy, F, P)
+            flat_in, flat_u8, pts_static, r_energy, F, P)
         return optimize(images, pts, res, jstore, states0, calib0, f_eth0,
                         inp, max_iters, newest)
 

@@ -102,6 +102,10 @@ class WindowOptimizer:
         # (device flat, fold-in dim at call time); resolved lazily on the
         # next HM/bM read so the keyframe path never blocks on the pull
         self._pending_marg: list = []
+        # device-resident static point store (built lazily by the first GN
+        # prepare; insert_points queues incremental scatter rows)
+        self._pts_static_dev = None
+        self._pts_static_pending: list = []
         self.images = jnp.zeros((self.F, self.H_img, self.W_img, 3), jnp.float32)
         self.jstore = self._empty_jstore()
         self.ad_host = np.zeros((self.F, self.F, 8, 8))
@@ -176,6 +180,10 @@ class WindowOptimizer:
         p.r_state[sl] = RES_NONE
         p.r_active[sl] = False
         p.r_linearized[sl] = False
+        # queue the static rows for the device-resident store (flushed by
+        # the next GN prepare as one jitted scatter)
+        if getattr(self, "_pts_static_dev", None) is not None:
+            self._pts_static_pending.append(np.asarray(sl))
         return sl
 
     def add_residuals(self, point_slots, target_idx: int):
@@ -930,14 +938,14 @@ def _wo_device_inputs(self):
 
 
 def _wo_gn_flat(self, states0, f_eth0):
-    """Build the ONE flat f32 H2D push for the fused GN program
-    (device_opt.gn_flat_layout order)."""
+    """Build the dynamic f32 push + packed-u8 push for the fused GN
+    program (device_opt.gn_flat_layout / gn_u8_layout).  The static
+    per-point data travels separately via the device-resident store
+    (_wo_pts_static)."""
     p = self.pts
     hi = _wo_host_inputs(self)
     parts = [
-        p.u, p.v, p.idepth, p.idepth_zero, p.color, p.weights, p.host,
-        p.energy_th, p.prior, p.active, p.idepth_hessian,
-        p.r_exists, p.r_state, p.r_active, p.r_linearized,
+        p.idepth, p.idepth_zero, p.prior, p.idepth_hessian,
         states0, np.asarray(self.calib_value, np.float32), f_eth0,
         hi["evalR"], hi["evalt"], hi["state_zero"], hi["exposures"],
         hi["aff0_b"], hi["frame_prior"], hi["frame_valid"],
@@ -945,7 +953,52 @@ def _wo_gn_flat(self, states0, f_eth0):
         hi["HM"], hi["bM"], hi["NNpiTS"],
         hi["calib_value"], hi["calib_zero"], hi["c_prior"],
     ]
-    return np.concatenate([np.asarray(a, np.float32).ravel() for a in parts])
+    flat = np.concatenate([np.asarray(a, np.float32).ravel() for a in parts])
+    return flat, D.pack_res_u8(p, self.F, self.P)
+
+
+_PTS_SCATTER_CHUNK = 2048
+
+
+def _wo_pts_static(self):
+    """Device-resident static per-point store (u/v/color/weights/
+    energy_th).  Full upload on first use or after a wholesale rebuild
+    (resume); incremental jitted scatter of freshly inserted rows
+    otherwise (insert_points queues them in _pts_static_pending)."""
+    p = self.pts
+    dev = getattr(self, "_pts_static_dev", None)
+    if dev is None:
+        dev = dict(
+            u=jnp.asarray(p.u), v=jnp.asarray(p.v),
+            color=jnp.asarray(p.color), weights=jnp.asarray(p.weights),
+            energy_th=jnp.asarray(p.energy_th),
+        )
+        self._pts_static_pending = []
+    elif getattr(self, "_pts_static_pending", None):
+        pend = self._pts_static_pending
+        self._pts_static_pending = []
+        idx = np.concatenate([np.asarray(sl, np.int64) for sl in pend])
+        # ONE fixed scatter shape (chunked): a varying pad bucket would
+        # recompile mid-run, which costs seconds on this device and lands
+        # inside the optimize stage
+        B = _PTS_SCATTER_CHUNK
+        for o in range(0, len(idx), B):
+            ch = idx[o:o + B]
+            pad = B - len(ch)
+            chp = np.concatenate([ch, np.full(pad, self.P, np.int64)]).astype(np.int32)
+            dev = D.scatter_pts_static(
+                dev, jnp.asarray(chp),
+                jnp.asarray(np.concatenate([p.u[ch], np.zeros(pad, np.float32)])),
+                jnp.asarray(np.concatenate([p.v[ch], np.zeros(pad, np.float32)])),
+                jnp.asarray(np.concatenate(
+                    [p.color[ch], np.zeros((pad, 8), np.float32)])),
+                jnp.asarray(np.concatenate(
+                    [p.weights[ch], np.zeros((pad, 8), np.float32)])),
+                jnp.asarray(np.concatenate(
+                    [p.energy_th[ch], np.zeros(pad, np.float32)])),
+            )
+    self._pts_static_dev = dev
+    return dev
 
 
 def _wo_pack_pts(self):
@@ -997,20 +1050,21 @@ def _wo_gn_prepare(self, max_iters: int):
     r_energy = getattr(self, "_r_energy_dev", None)
     if r_energy is None:
         r_energy = jnp.asarray(self.pts.r_energy)
-    flat = _wo_gn_flat(self, states0, f_eth0)
-    return flat, r_energy, dict(active_pre=active_pre, newest=newest,
-                                max_iters=max_iters)
+    flat, flat_u8 = _wo_gn_flat(self, states0, f_eth0)
+    return flat, flat_u8, _wo_pts_static(self), r_energy, dict(
+        active_pre=active_pre, newest=newest, max_iters=max_iters)
 
 
 def _wo_optimize_device(self, max_iters: int) -> float:
     """optimize() + final relinearization as ONE device program."""
     if self.n_frames < 2:
         return 0.0
-    flat_in, r_energy, meta = _wo_gn_prepare(self, max_iters)
-    # ONE flat H2D push (the ~30 per-field pushes each cost host dispatch
-    # overhead on the link); r_energy stays device-resident between KFs
+    flat_in, flat_u8, pts_static, r_energy, meta = _wo_gn_prepare(self, max_iters)
+    # ONE dynamic f32 push + one packed u8 push (statics live on device);
+    # r_energy stays device-resident between KFs
     out = self._dev_opt.flat(
-        self.images, self.jstore, jnp.asarray(flat_in), r_energy,
+        self.images, self.jstore, jnp.asarray(flat_in), jnp.asarray(flat_u8),
+        pts_static, r_energy,
         jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
     )
     # sync with ONE flat pull (every extra D2H pull costs a ~30 ms tunnel
@@ -1105,11 +1159,20 @@ def _wo_precompile(self):
     f32 = jnp.float32
     if getattr(self, "_dev_opt", None) is None:
         self._dev_opt = D.make_device_optimizer_fused(self.s, F, P)
+    fl0, u80 = _wo_gn_flat(self, np.zeros((F, 10), np.float32),
+                           np.zeros(F, np.float32))
     out = self._dev_opt.flat(
-        self.images, self.jstore,
-        jnp.asarray(_wo_gn_flat(self, np.zeros((F, 10), np.float32),
-                                np.zeros(F, np.float32))),
+        self.images, self.jstore, jnp.asarray(fl0), jnp.asarray(u80),
+        _wo_pts_static(self),
         jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0),
+    )
+    # warm the (single) static-store scatter shape
+    B = _PTS_SCATTER_CHUNK
+    D.scatter_pts_static(
+        _wo_pts_static(self), jnp.full(B, P, jnp.int32),
+        jnp.zeros(B, f32), jnp.zeros(B, f32),
+        jnp.zeros((B, 8), f32), jnp.zeros((B, 8), f32),
+        jnp.zeros(B, f32),
     )
     marg = D.make_marg_points(self.s, F, P)(
         self.jstore, jnp.zeros((P, F), bool), jnp.asarray(self.pts.host),

@@ -174,13 +174,17 @@ class MultiSeqSystem:
             {k: jnp.stack([wins[r].jstore[k] for r in rows])
              for k in wins[0].jstore},
             jnp.stack([jnp.asarray(preps[r][0]) for r in rows]),
-            jnp.stack([preps[r][1] for r in rows]),
-            jnp.asarray([preps[r][2]["max_iters"] for r in rows], jnp.int32),
-            jnp.asarray([preps[r][2]["newest"] for r in rows], jnp.int32),
+            jnp.stack([jnp.asarray(preps[r][1]) for r in rows]),
+            {k: jnp.stack([preps[r][2][k] for r in rows])
+             for k in preps[0][2]},
+            jnp.stack([preps[r][3] for r in rows]),
+            jnp.asarray([preps[r][4]["max_iters"] for r in rows], jnp.int32),
+            jnp.asarray([preps[r][4]["newest"] for r in rows], jnp.int32),
         )
         flat_np = np.asarray(out["flat"], np.float64)
-        for i, ((s, f), w, (fl, re, meta), ctx) in enumerate(
+        for i, ((s, f), w, prep, ctx) in enumerate(
                 zip(jobs, wins, preps, ctxs)):
+            meta = prep[4]
             jst = {k: out["jstore"][k][i] for k in out["jstore"]}
             rmse = w.gn_adopt(flat_np[i], jst, out["res"]["energy"][i],
                               out["center_newest"][i], meta)
@@ -193,6 +197,6 @@ _BGN_CACHE: dict = {}
 def _batched_gn(opt):
     fn = _BGN_CACHE.get(id(opt))
     if fn is None:
-        fn = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, 0, 0))
+        fn = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
         _BGN_CACHE[id(opt)] = fn
     return fn

@@ -1568,6 +1568,10 @@ class FullSystem:
         intensity images and the coarse-tracking reference, so add_frame
         works immediately after load_checkpoint."""
         w = self.window
+        # the checkpoint restored host point arrays wholesale; the lazy
+        # device-resident static store must rebuild from them
+        w._pts_static_dev = None
+        w._pts_static_pending = []
         nf = w.n_frames
         if nf == 0:
             return

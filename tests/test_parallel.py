@@ -172,16 +172,21 @@ def test_vmapped_window_ba_matches_per_window():
     images_b = jnp.stack([w.images for w in wins2])
     jstore_b = {k: jnp.stack([w.jstore[k] for w in wins2])
                 for k in wins2[0].jstore}
-    flat_b = jnp.stack([jnp.asarray(flat_inputs(w)) for w in wins2])
+    pairs = [flat_inputs(w) for w in wins2]
+    flat_b = jnp.stack([jnp.asarray(fl) for fl, _ in pairs])
+    u8_b = jnp.stack([jnp.asarray(u8) for _, u8 in pairs])
+    from nalo_slam_tpu.backend.energy import _wo_pts_static
+    stat_list = [_wo_pts_static(w) for w in wins2]
+    stat_b = {k: jnp.stack([st[k] for st in stat_list]) for k in stat_list[0]}
     re_b = jnp.stack([jnp.asarray(w.pts.r_energy) for w in wins2])
 
-    batched = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, None, None))
+    batched = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, 0, 0, None, None))
     devs = np.array(jax.devices())
     mesh = Mesh(devs.reshape(len(devs)), ("dp",))
     shard = NamedSharding(mesh, P("dp"))
     images_b = jax.device_put(images_b, shard)
     flat_b = jax.device_put(flat_b, shard)
-    out = batched(images_b, jstore_b, flat_b, re_b,
+    out = batched(images_b, jstore_b, flat_b, u8_b, stat_b, re_b,
                   jnp.int32(15), jnp.int32(2))
     flat_out = np.asarray(out["flat"])
 
