@@ -29,14 +29,25 @@ def _prep(x, y, h, w):
 
 
 def interp1(img: jnp.ndarray, x, y):
-    """img (H, W) -> values at (x, y), bilinear."""
+    """img (H, W) -> values at (x, y), bilinear.
+
+    Fetches the four taps as ONE 4-wide row gather from a (H*W, 4) quad
+    layout built in-jit (pad+stack, ~free at image sizes) instead of four
+    scalar gathers: on TPU scalar gathers serialize while slice gathers
+    ride the lane axis -- measured 233 -> 45 ms at 4.7M samples on the
+    epipolar-search shape, bit-exact (tools/bench_interp.py).  The C=3
+    interp3 keeps the plain form: its per-tap gather is already a 3-wide
+    slice and the quad layout wins nothing there.
+    """
     h, w = img.shape
     ix, iy, w00, w10, w01, w11 = _prep(x, y, h, w)
-    v00 = img[iy, ix]
-    v10 = img[iy, ix + 1]
-    v01 = img[iy + 1, ix]
-    v11 = img[iy + 1, ix + 1]
-    return w00 * v00 + w10 * v10 + w01 * v01 + w11 * v11
+    p = jnp.pad(img, ((0, 1), (0, 1)))
+    q = jnp.stack(
+        [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]], -1
+    ).reshape(h * w, 4)
+    rows = jnp.take(q, iy * w + ix, axis=0)
+    wts = jnp.stack([w00, w10, w01, w11], -1)
+    return jnp.sum(rows * wts, -1)
 
 
 def interp3(img: jnp.ndarray, x, y):

@@ -80,6 +80,46 @@ def quad(qimg, x, y):
     return jnp.sum(rows * w, -1)
 
 
+@jax.jit
+def quad_injit(img, x, y):
+    """quad built INSIDE the jit from the (H, W) image: storage format
+    unchanged, XLA materializes the (H*W, 4) layout once per call."""
+    q = make_quad(img, jnp.float32)
+    return quad(q, x, y)
+
+
+@jax.jit
+def base3(img3, x, y):
+    ix, iy, dx, dy = _prep(x, y)
+    v00 = img3[iy, ix]
+    v10 = img3[iy, ix + 1]
+    v01 = img3[iy + 1, ix]
+    v11 = img3[iy + 1, ix + 1]
+    w = ((1 - dx) * (1 - dy), dx * (1 - dy), (1 - dx) * dy, dx * dy)
+    return (w[0][..., None] * v00 + w[1][..., None] * v10
+            + w[2][..., None] * v01 + w[3][..., None] * v11)
+
+
+def make_quad3(img3, dtype):
+    p = jnp.pad(img3, ((0, 1), (0, 1), (0, 0)))
+    q = jnp.stack([p[:H, :W], p[:H, 1:W + 1], p[1:H + 1, :W],
+                   p[1:H + 1, 1:W + 1]], -2)
+    return q.reshape(H * W, 4, 3).astype(dtype)
+
+
+@jax.jit
+def quad3(qimg, x, y):
+    ix, iy, dx, dy = _prep(x, y)
+    rows = jnp.take(qimg, iy * W + ix, axis=0).astype(jnp.float32)  # (...,4,3)
+    w = jnp.stack([(1 - dx) * (1 - dy), dx * (1 - dy), (1 - dx) * dy, dx * dy], -1)
+    return jnp.sum(rows * w[..., None], -2)
+
+
+@jax.jit
+def quad3_injit(img3, x, y):
+    return quad3(make_quad3(img3, jnp.float32), x, y)
+
+
 def timeit(label, fn, *args, n=5):
     # block_until_ready under-reports on the tunneled runtime; a value
     # pull forces real completion (costs one ~30 ms link RT, identical
@@ -106,9 +146,20 @@ def main():
     r2 = timeit("quad (1x 4-wide)    ", quad, q32, x, y)
     q16 = make_quad(img, jnp.float16)
     r3 = timeit("quad16 (1x 4-wide)  ", quad, q16, x, y)
-    for nm, r in (("flat", r1), ("quad", r2), ("quad16", r3)):
+    r4 = timeit("quad in-jit         ", quad_injit, img, x, y)
+    for nm, r in (("flat", r1), ("quad", r2), ("quad16", r3), ("injit", r4)):
         err = float(jnp.max(jnp.abs(r - r0)))
         print(f"  {nm} max err vs base: {err:.5f}")
+
+    img3 = jnp.asarray(rng.normal(size=(H, W, 3)).astype(np.float32))
+    x3 = x[:, :3]   # interp3 call sites sample ~K pattern offsets, not S*K
+    y3 = y[:, :3]
+    s0 = timeit("base3  (4x 2-D gather, C=3)", base3, img3, x3, y3)
+    s1 = timeit("quad3  (1x 12-wide)        ", quad3, make_quad3(img3, jnp.float32), x3, y3)
+    s2 = timeit("quad3 in-jit               ", quad3_injit, img3, x3, y3)
+    for nm, r in (("quad3", s1), ("injit3", s2)):
+        err = float(jnp.max(jnp.abs(r - s0)))
+        print(f"  {nm} max err vs base3: {err:.5f}")
 
 
 if __name__ == "__main__":
