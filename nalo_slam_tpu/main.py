@@ -108,6 +108,15 @@ def run(argv: list[str]) -> int:
     if extras.get("render"):
         from .io.wrappers import RenderWrapper
         sys_.output_wrappers.append(RenderWrapper(extras["render"]))
+    if extras.get("viewer"):
+        # viewer=1 -> default port; viewer=<port> -> that port.  The
+        # reference's Pangolin GUI (PangolinDSOViewer.h) becomes a local
+        # web viewer; open the printed URL in a browser.
+        from .io.live_viewer import LiveViewer
+        vp = int(extras["viewer"])
+        lv = LiveViewer(port=vp if vp > 1 else 8765)
+        sys_.output_wrappers.append(lv)
+        print(f"live viewer: {lv.url}")
 
     if extras.get("resume"):
         from .system.checkpoint import load_checkpoint
