@@ -46,24 +46,33 @@ def interp1(img: jnp.ndarray, x, y):
         [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]], -1
     ).reshape(h * w, 4)
     rows = jnp.take(q, iy * w + ix, axis=0)
-    wts = jnp.stack([w00, w10, w01, w11], -1)
-    return jnp.sum(rows * wts, -1)
+    return (w00 * rows[..., 0] + w10 * rows[..., 1]
+            + w01 * rows[..., 2] + w11 * rows[..., 3])
 
 
 def interp3(img: jnp.ndarray, x, y):
     """img (H, W, C) -> (..., C) values at (x, y), bilinear.
 
     Used on dI stacks (intensity, ddx, ddy) like getInterpolatedElement33.
+    Same quad trick as interp1: ONE (4*C)-wide row gather from a
+    (H*W, 4*C) layout built in-jit instead of four C-wide gathers
+    (52.8 -> 33.7 ms at the 1M-sample BA-linearize shape, bit-exact --
+    the build is a cheap bandwidth op XLA fuses with the pad).  The
+    clipped ix<=w-2, iy<=h-2 indices never touch the zero pad row/col.
     """
     h, w = img.shape[:2]
+    c = img.shape[2]
     ix, iy, w00, w10, w01, w11 = _prep(x, y, h, w)
-    v00 = img[iy, ix]
-    v10 = img[iy, ix + 1]
-    v01 = img[iy + 1, ix]
-    v11 = img[iy + 1, ix + 1]
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
+    q = jnp.stack(
+        [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]], -2
+    ).reshape(h * w, 4 * c)
+    rows = jnp.take(q, iy * w + ix, axis=0).reshape(ix.shape + (4, c))
+    # explicit chain == the classic 4-gather form's FP rounding, so the
+    # layout change is bit-exact (a sum-reduce may reassociate)
     return (
-        w00[..., None] * v00
-        + w10[..., None] * v10
-        + w01[..., None] * v01
-        + w11[..., None] * v11
+        w00[..., None] * rows[..., 0, :]
+        + w10[..., None] * rows[..., 1, :]
+        + w01[..., None] * rows[..., 2, :]
+        + w11[..., None] * rows[..., 3, :]
     )
