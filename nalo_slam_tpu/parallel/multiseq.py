@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..frontend import immature as imm
 from ..frontend.tracker import make_track_fn
+from ..system.full_system import RETRACK_PENDING
 
 
 class MultiSeqTracker:
@@ -120,15 +122,20 @@ class MultiSeqSystem:
             exps[i] = (ref["exposure"], frame["exposure"])
             raff[i] = ref["aff"]
 
-        R, t, ab, res, flow, ok = self.tracker.track(
+        out_dev = self.tracker.track(
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(ab0),
             tuple(maps_b), tuple(colors_b), tuple(new_b),
             jnp.asarray(exps), jnp.asarray(raff),
         )
-        R = np.asarray(R); t = np.asarray(t); ab = np.asarray(ab)
-        res = np.asarray(res); flow = np.asarray(flow); ok = np.asarray(ok)
+        # deferred traces of the previous lock-step ride as ONE vmapped
+        # dispatch BEHIND the descent (so the descent pull below never
+        # waits on the epipolar-search kernel) -- the per-system flush in
+        # track_only then finds nothing pending
+        self._batched_flush_traces([self.systems[b] for b, _, _ in pend])
+        R, t, ab, res, flow, ok = (np.asarray(x) for x in out_dev)
 
         kf_jobs = []
+        retrack_sink: list = []
         for i, (b, frame, pre) in enumerate(pend):
             sysb = self.systems[b]
             # repack row i into the single-call packed layout
@@ -136,26 +143,210 @@ class MultiSeqSystem:
                 R[i].reshape(-1), t[i], ab[i], res[i], flow[i],
                 np.array([1.0 if ok[i] else 0.0], np.float32),
             ])
-            need_kf = sysb.track_only(frame, packed0=packed0, pre=pre)
-            if need_kf is None:
-                continue
-            if need_kf and sysb.s.use_device_opt:
-                kf_jobs.append((sysb, frame))
-            else:
-                sysb.map_frame(frame, need_kf)
+            need_kf = sysb.track_only(frame, packed0=packed0, pre=pre,
+                                      retrack_sink=retrack_sink)
+            if need_kf is RETRACK_PENDING:
+                continue   # resumed below after the batched ladder
+            self._route_tracked(sysb, frame, need_kf, kf_jobs)
+        # every sequence that fell off the fast path runs its 31-hypothesis
+        # ladder in the SAME vmapped program (one dispatch, one pull)
+        for sysb, frame, need_kf in self._batched_retrack(retrack_sink):
+            self._route_tracked(sysb, frame, need_kf, kf_jobs)
         if len(kf_jobs) == 1:
             kf_jobs[0][0].map_frame(kf_jobs[0][1], True)
         elif kf_jobs:
             self._batched_keyframes(kf_jobs)
 
+    def _route_tracked(self, sysb, frame, need_kf, kf_jobs):
+        if need_kf is None:
+            return
+        if need_kf and sysb.s.use_device_opt:
+            kf_jobs.append((sysb, frame))
+        else:
+            sysb.map_frame(frame, need_kf)
+
+    # -- batched deferred-trace flush (one dispatch for B sequences) -------
+    def _batched_flush_traces(self, systems):
+        jobs = []
+        for s in systems:
+            with s._trace_dispatch_lock:
+                args = s._pending_trace
+                s._pending_trace = None
+            if args is not None:
+                jobs.append((s, args))
+        self._dispatch_batched_trace(jobs)
+
+    def _dispatch_batched_trace(self, jobs):
+        if not jobs:
+            return
+        if len(jobs) == 1:
+            jobs[0][0]._dispatch_trace(jobs[0][1])
+            return
+        rows = list(range(len(jobs))) + [0] * (self.B - len(jobs))
+        f0 = jobs[0][0]
+        out = self._batched_trace_fn(f0)(
+            {k: jnp.stack([jobs[r][0].imm_static[k] for r in rows])
+             for k in f0.imm_static},
+            {k: jnp.stack([jobs[r][0].imm_trace[k] for r in rows])
+             for k in f0.imm_trace},
+            jnp.stack([jnp.asarray(jobs[r][1][0]) for r in rows]),
+            jnp.stack([jnp.asarray(jobs[r][1][1]) for r in rows]),
+            jnp.stack([jnp.asarray(jobs[r][1][2]) for r in rows]),
+            jnp.stack([jnp.asarray(jobs[r][1][3]) for r in rows]),
+        )
+        for i, (s, _) in enumerate(jobs):
+            s.imm_trace = {k: out[k][i] for k in out}
+
+    def _batched_trace_fn(self, f0):
+        fn = getattr(self, "_trace_fn", None)
+        if fn is None:
+            s, c = f0.s, f0.calib
+            F, M = f0.window.F, s.max_immature_per_frame
+            kw = f0._trace_kwargs()
+
+            def base(st, tr, dI0, KRKi, Kt, affs):
+                return imm.trace_update(
+                    st, tr, dI0, KRKi, Kt, affs, s.max_pix_search,
+                    huber_th=s.huber_th, w_img=c.w[0], h_img=c.h[0],
+                    F=F, M=M, **kw)
+
+            fn = self._trace_fn = jax.vmap(base, in_axes=(0,) * 6)
+        return fn
+
+    # -- batched point activation (one program for coincident keyframes) ---
+    def _dispatch_batched_activation(self, act):
+        """act: list of (job idx, system, activation prep).  Returns
+        [(flat ndarray, new_valid device row), ...] aligned with act."""
+        if not act:
+            return []
+        if len(act) == 1:
+            _, s, p = act[0]
+            flat_dev, nv = s._activate_dispatch(p)
+            return [(np.asarray(flat_dev), nv)]
+        rows = list(range(len(act))) + [0] * (self.B - len(act))
+        f0 = act[0][1]
+        fn = self._batched_act_fn(f0)
+
+        def stk(key, dtype=None):
+            a = np.stack([act[r][2][key] for r in rows])
+            return jnp.asarray(a if dtype is None else a.astype(dtype))
+
+        flat_b, nv_b = fn(
+            {k: jnp.stack([act[r][1].imm_static[k] for r in rows])
+             for k in f0.imm_static},
+            {k: jnp.stack([act[r][1].imm_trace[k] for r in rows])
+             for k in f0.imm_trace},
+            jnp.stack([act[r][1].window.images for r in rows]),
+            stk("u"), stk("v"), stk("idepth"), stk("host"), stk("m_in"),
+            stk("KRKi1"), stk("Kt1f"), stk("flagged"),
+            stk("newest", np.int32), stk("min_act_dist", np.float32),
+            stk("PRE_R"), stk("PRE_t"), stk("PRE_aff"), stk("f_act"),
+            stk("calib"),
+        )
+        flat_np = np.asarray(flat_b)
+        return [(flat_np[i], nv_b[i]) for i in range(len(act))]
+
+    def _batched_act_fn(self, f0):
+        fn = getattr(self, "_act_fn", None)
+        if fn is None:
+            s, c = f0.s, f0.calib
+            F, M = f0.window.F, s.max_immature_per_frame
+            C, A = f0._ACT_C, f0._ACT_A
+
+            def base(static, trace, images, u, v, idepth, host, m_in,
+                     KRKi1, Kt1, flagged, newest, mad,
+                     PRE_R, PRE_t, PRE_aff, f_act, calib):
+                return imm.activation_run(
+                    static, trace, images, u, v, idepth, host, m_in,
+                    KRKi1, Kt1, flagged, newest, s.min_trace_quality, mad,
+                    PRE_R, PRE_t, PRE_aff, f_act, calib, s.min_idepth_h_act,
+                    F=F, M=M, C=C, A=A, h1=c.h[1], w1=c.w[1], dm_iters=40,
+                    iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
+                    w_img=c.w[0], h_img=c.h[0])
+
+            fn = self._act_fn = jax.vmap(base, in_axes=(0,) * 18)
+        return fn
+
+    # -- batched re-track ladder (one program for every fallen sequence) ---
+    def _batched_retrack(self, sink):
+        if not sink:
+            return []
+        if len(sink) == 1:
+            e = sink[0]
+            s = e["sys"]
+            packed_w = np.asarray(s._run_retrack(
+                e["Rs"], e["ts"], e["abs_"], e["frame"]["dIs"], e["ref"],
+                e["packed"]))
+            tres = s._retrack_adopt(e["frame"], e["tries"], e["aff0"],
+                                    e["ref"], e["best"], packed_w)
+            return [(s, e["frame"], s._kf_decision(e["frame"], tres))]
+        rows = list(range(len(sink))) + [0] * (self.B - len(sink))
+        f0 = sink[0]["sys"]
+        fn = getattr(self, "_retrack_fn", None)
+        if fn is None:
+            fn = self._retrack_fn = jax.vmap(f0._get_retrack_fn(),
+                                             in_axes=(0,) * 9)
+        L = self.levels
+        packed_b = fn(
+            jnp.stack([jnp.asarray(sink[r]["Rs"]) for r in rows]),
+            jnp.stack([jnp.asarray(sink[r]["ts"]) for r in rows]),
+            jnp.stack([jnp.asarray(sink[r]["abs_"]) for r in rows]),
+            tuple((jnp.stack([sink[r]["ref"]["maps"][l][0] for r in rows]),
+                   jnp.stack([sink[r]["ref"]["maps"][l][1] for r in rows]))
+                  for l in range(L)),
+            tuple(jnp.stack([sink[r]["ref"]["colors"][l] for r in rows])
+                  for l in range(L)),
+            tuple(jnp.stack([sink[r]["frame"]["dIs"][l] for r in rows])
+                  for l in range(L)),
+            jnp.stack([jnp.asarray(
+                [sink[r]["ref"]["exposure"], sink[r]["frame"]["exposure"]],
+                np.float32) for r in rows]),
+            jnp.stack([jnp.asarray(sink[r]["ref"]["aff"], np.float32)
+                       for r in rows]),
+            jnp.stack([jnp.asarray(sink[r]["packed"]) for r in rows]),
+        )
+        packed_np = np.asarray(packed_b)
+        results = []
+        for i, e in enumerate(sink):
+            s = e["sys"]
+            tres = s._retrack_adopt(e["frame"], e["tries"], e["aff0"],
+                                    e["ref"], e["best"], packed_np[i])
+            results.append((s, e["frame"], s._kf_decision(e["frame"], tres)))
+        return results
+
     def _batched_keyframes(self, jobs):
         """Several sequences decided on a keyframe in the same lock-step:
-        run their sliding-window GN as ONE vmapped device program (padded
-        to the fixed batch B so a single compiled executable serves every
-        keyframe coincidence pattern).  Per-element results are identical
-        to the unbatched program: converged/out-of-budget windows freeze
-        inside the loop body (device_opt.py)."""
-        ctxs = [s._kf_pre(f) for s, f in jobs]
+        the per-KF device programs run as ONE vmapped dispatch each --
+        immature trace, point activation, and the sliding-window GN
+        (padded to the fixed batch B so a single compiled executable
+        serves every coincidence pattern).  Per-element results are
+        identical to the unbatched programs: converged/out-of-budget
+        windows freeze inside the GN loop body (device_opt.py)."""
+        # 1) one vmapped trace for every keyframe (the _kf_stage1 trace
+        # stage, hoisted): shell update first, exactly as _kf_stage1 does
+        tjobs = []
+        for s, f in jobs:
+            shell = f["shell"]
+            with s.shell_lock:
+                if shell.trackingRef is not None:
+                    shell.camToWorld = (shell.trackingRef.camToWorld
+                                        * shell.camToTrackingRef)
+            s.flush_pending_trace()   # no-op after the batched track flush
+            tjobs.append((s, s._trace_args(f)))
+        self._dispatch_batched_trace(tjobs)
+        sts = [s._kf_stage1(f, pre_traced=True) for s, f in jobs]
+
+        # 2) one vmapped activation; the new-KF pixel selection overlaps
+        # the device round trip exactly like the single-sequence path
+        preps = [s._activate_prepare_timed() for s, _ in jobs]
+        act = [(i, s, p) for i, ((s, _), p) in enumerate(zip(jobs, preps))
+               if p is not None]
+        act_out = self._dispatch_batched_activation(act)
+        nt_pres = [[s._new_traces_host(f)] for s, f in jobs]
+        for (i, s, p), (flat_np, new_valid) in zip(act, act_out):
+            s._activate_adopt(p, flat_np, new_valid)
+        ctxs = [s._kf_finish(st, nt)
+                for (s, _), st, nt in zip(jobs, sts, nt_pres)]
         wins = [s.window for s, _ in jobs]
         # windows too small for the device GN fall back (first KF only)
         small = [i for i, w in enumerate(wins) if w.n_frames < 2]

@@ -45,6 +45,10 @@ from ..nalo import dense_map as dmap
 import jax
 import threading
 
+# sentinel returned by track_only when a multi-sequence executor parked the
+# re-track ladder for batched dispatch (resume via _retrack_adopt)
+RETRACK_PENDING = object()
+
 
 def _host_immature_data(dI0: np.ndarray, u: np.ndarray, v: np.ndarray):
     """Numpy twin of immature.make_immature_data, fed from the host
@@ -383,13 +387,22 @@ class FullSystem:
                 pass
         self.map_frame(frame, need_kf)
 
-    def track_only(self, frame, packed0=None, pre=None):
+    def track_only(self, frame, packed0=None, pre=None, retrack_sink=None):
         """Tracking-thread half: coarse track + KF decision.  Returns
         need_kf, or None when tracking failed (isLost).  packed0/pre let a
         batched multi-sequence executor inject the hypothesis-0 descent
-        result computed in one sharded call (parallel/multiseq.py)."""
+        result computed in one sharded call; retrack_sink, when given,
+        defers a needed re-track ladder to the executor (which batches the
+        ladders of every sequence into one program) and returns
+        RETRACK_PENDING (parallel/multiseq.py)."""
+        tres = self._track_new_coarse(frame, packed0=packed0, pre=pre,
+                                      retrack_sink=retrack_sink)
+        if tres is RETRACK_PENDING:
+            return RETRACK_PENDING
+        return self._kf_decision(frame, tres)
+
+    def _kf_decision(self, frame, tres):
         shell = frame["shell"]
-        tres = self._track_new_coarse(frame, packed0=packed0, pre=pre)
         if not np.all(np.isfinite(tres)):
             self.is_lost = True
             return None
@@ -655,8 +668,8 @@ class FullSystem:
                 aff0 = np.asarray(ref["aff_last"], np.float32)
         return tries, aff0, ref
 
-    def _track_new_coarse(self, frame, packed0=None, pre=None):
-        shell = frame["shell"]
+    def _track_new_coarse(self, frame, packed0=None, pre=None,
+                          retrack_sink=None):
         tries, aff0, ref = pre if pre is not None else self._track_h0_inputs(frame)
 
         # fast path: first hypothesis only (reference always breaks at :655
@@ -684,22 +697,40 @@ class FullSystem:
             Rs = np.stack([x.Rt32()[0] for x in tries])
             ts = np.stack([x.Rt32()[1] for x in tries])
             abs_ = np.tile(aff0, (n, 1))
+            if retrack_sink is not None:
+                # multi-sequence executor: park the ladder inputs; the
+                # executor batches every sequence's ladder into ONE
+                # vmapped program and resumes via _retrack_adopt
+                retrack_sink.append(dict(
+                    sys=self, frame=frame, Rs=Rs, ts=ts, abs_=abs_,
+                    ref=ref, packed=packed, tries=tries, aff0=aff0,
+                    best=best))
+                return RETRACK_PENDING
             # two-stage ladder as ONE device program: coarse triage of all
             # hypotheses, full descent on the top-3, winner by level-0
             # residual among those and the fast-path h0 descent
             packed_w = np.asarray(self._run_retrack(Rs, ts, abs_,
                                                     frame["dIs"], ref,
                                                     packed))
-            had = packed_w[-1] > 0.5
-            if had:
-                Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(
-                    packed_w[:-1])
-                best = (Rw2.astype(np.float64), tw2.astype(np.float64),
-                        abw2.astype(np.float64), resw2, floww2)
-                good = bool(okw2) and np.isfinite(resw2[0])
-            else:
-                good = False
+            return self._retrack_adopt(frame, tries, aff0, ref, best,
+                                       packed_w)
+        return self._track_finish(frame, tries, aff0, ref, best, good)
 
+    def _retrack_adopt(self, frame, tries, aff0, ref, best, packed_w):
+        """Resume after the re-track ladder program: adopt the winner."""
+        had = packed_w[-1] > 0.5
+        if had:
+            Rw2, tw2, abw2, resw2, floww2, okw2 = self._unpack_track(
+                packed_w[:-1])
+            best = (Rw2.astype(np.float64), tw2.astype(np.float64),
+                    abw2.astype(np.float64), resw2, floww2)
+            good = bool(okw2) and np.isfinite(resw2[0])
+        else:
+            good = False
+        return self._track_finish(frame, tries, aff0, ref, best, good)
+
+    def _track_finish(self, frame, tries, aff0, ref, best, good):
+        shell = frame["shell"]
         Rw, tw, abw, resw, floww = best
         if not good:
             # BIG ERROR fallback (:658-664): take predicted pose
@@ -842,6 +873,25 @@ class FullSystem:
         return self._kf_post(ctx, rmse)
 
     def _kf_pre(self, frame):
+        st = self._kf_stage1(frame)
+        prep = self._activate_prepare_timed()
+        if prep is None:
+            return self._kf_finish(st, [self._new_traces_host(frame)])
+        t0 = time.perf_counter()
+        flat_dev, new_valid = self._activate_dispatch(prep)
+        # pixel selection for the new KF's traces is independent of the
+        # window; hide it behind the activation round trip
+        nt_pre = [self._new_traces_host(frame)]
+        self._activate_adopt(prep, np.asarray(flat_dev), new_valid)
+        self._stage_ms["activate"] = (
+            self._stage_ms.get("activate", 0.0)
+            + 1000.0 * (time.perf_counter() - t0))
+        return self._kf_finish(st, nt_pre)
+
+    def _kf_stage1(self, frame, pre_traced: bool = False):
+        """makeKeyFrame up to (excluding) point activation.  pre_traced:
+        the multi-sequence executor already ran this frame's trace as part
+        of a batched dispatch."""
         s = self.s
         shell = frame["shell"]
         self._stage_ms = {}
@@ -850,8 +900,9 @@ class FullSystem:
             if shell.trackingRef is not None:
                 shell.camToWorld = shell.trackingRef.camToWorld * shell.camToTrackingRef
 
-        with self._stage("trace"):
-            self._trace_new_coarse(frame)
+        if not pre_traced:
+            with self._stage("trace"):
+                self._trace_new_coarse(frame)
         self._flag_frames_for_marginalization()
 
         fs = FrameState(len(self.all_kf_shells), shell, frame["exposure"], s)
@@ -876,20 +927,21 @@ class FullSystem:
             p.last_res_state[existing, 1] = p.last_res_state[existing, 0]
             p.last_res_state[existing, 0] = RES_IN
             self.window.add_residuals(existing, new_idx)
+        return dict(frame=frame, fs=fs, new_idx=new_idx, t_kf0=t_kf0)
 
-        nt_pre = [None]
+    def _activate_prepare_timed(self):
+        t0 = time.perf_counter()
+        prep = self._activate_prepare()
+        self._stage_ms["activate"] = (
+            self._stage_ms.get("activate", 0.0)
+            + 1000.0 * (time.perf_counter() - t0))
+        return prep
 
-        def _overlap():
-            # pixel selection for the new KF's traces is independent of
-            # the window; hide it behind the activation round trip
-            nt_pre[0] = self._new_traces_host(frame)
-
-        with self._stage("activate"):
-            self._activate_points(overlap_fn=_overlap)
-
+    def _kf_finish(self, st, nt_pre):
+        fs = st["fs"]
         fs.frame_energy_th = self.window.frames[-2].frame_energy_th if self.window.n_frames > 1 else fs.frame_energy_th
-        return dict(frame=frame, fs=fs, new_idx=new_idx, nt_pre=nt_pre,
-                    t_kf0=t_kf0)
+        return dict(frame=st["frame"], fs=fs, new_idx=st["new_idx"],
+                    nt_pre=nt_pre, t_kf0=st["t_kf0"])
 
     def _kf_post(self, ctx, rmse):
         s = self.s
@@ -1092,7 +1144,20 @@ class FullSystem:
     def _activate_points(self, overlap_fn=None):
         """activatePointsMT (:764-934).  overlap_fn, when given, runs
         between the activation dispatch and its pull (host work hidden
-        behind the device round trip)."""
+        behind the device round trip).  Split into prepare / dispatch /
+        adopt so the multi-sequence executor can vmap the device program
+        across sequences (parallel/multiseq.py)."""
+        prep = self._activate_prepare()
+        if prep is None:
+            return
+        flat_dev, new_valid = self._activate_dispatch(prep)
+        if overlap_fn is not None:
+            overlap_fn()
+        self._activate_adopt(prep, np.asarray(flat_dev), new_valid)
+
+    def _activate_prepare(self):
+        """Density feedback + host-side inputs of the one-call activation
+        program; None when the window is too small."""
         s = self.s
         w = self.window
         p = w.pts
@@ -1121,7 +1186,6 @@ class FullSystem:
         if nf < 2:
             return
         newest = nf - 1
-        c = self.calib
 
         # The ENTIRE activation runs as ONE device call + ONE flat pull
         # (imm.activation_run): candidate gating, dead/OOB deletion,
@@ -1138,7 +1202,6 @@ class FullSystem:
             KRKi1[hh] = self.calib.K[1] @ h2n.R @ self.calib.Ki[0]
             Kt1f[hh] = self.calib.K[1] @ h2n.t
         m_in = p.active & (p.host != newest)
-        h1, w1 = c.h[1], c.w[1]
         flagged = np.zeros(Fd, bool)
         for hh in range(nf):
             flagged[hh] = w.frames[hh].flagged_for_marg
@@ -1157,27 +1220,54 @@ class FullSystem:
                                                  host.aff_g2l(), target.aff_g2l())
         f_act = np.zeros(F, bool)
         f_act[:nf] = True
-        C, A = 4096, 2048
+        return dict(
+            u=p.u, v=p.v, idepth=p.idepth, host=p.host, m_in=m_in,
+            KRKi1=KRKi1, Kt1f=Kt1f, flagged=flagged, newest=newest,
+            min_act_dist=np.float32(self.current_min_act_dist),
+            PRE_R=PRE_R, PRE_t=PRE_t, PRE_aff=PRE_aff, f_act=f_act,
+            calib=np.asarray(w.calib_value, np.float32), nf=nf,
+        )
+
+    # activation program pad sizes (candidates / accepted slots)
+    _ACT_C, _ACT_A = 4096, 2048
+
+    def _activate_dispatch(self, prep):
+        s = self.s
+        w = self.window
         flat_dev, new_valid = imm.activation_run(
             self.imm_static, self.imm_trace, w.images,
-            jnp.asarray(p.u), jnp.asarray(p.v), jnp.asarray(p.idepth),
-            jnp.asarray(p.host), jnp.asarray(m_in),
-            jnp.asarray(KRKi1), jnp.asarray(Kt1f),
-            jnp.asarray(flagged), jnp.int32(newest),
-            s.min_trace_quality, jnp.float32(self.current_min_act_dist),
-            jnp.asarray(PRE_R), jnp.asarray(PRE_t), jnp.asarray(PRE_aff),
-            jnp.asarray(f_act), jnp.asarray(w.calib_value, jnp.float32),
+            jnp.asarray(prep["u"]), jnp.asarray(prep["v"]),
+            jnp.asarray(prep["idepth"]), jnp.asarray(prep["host"]),
+            jnp.asarray(prep["m_in"]),
+            jnp.asarray(prep["KRKi1"]), jnp.asarray(prep["Kt1f"]),
+            jnp.asarray(prep["flagged"]), jnp.int32(prep["newest"]),
+            s.min_trace_quality, jnp.float32(prep["min_act_dist"]),
+            jnp.asarray(prep["PRE_R"]), jnp.asarray(prep["PRE_t"]),
+            jnp.asarray(prep["PRE_aff"]),
+            jnp.asarray(prep["f_act"]), jnp.asarray(prep["calib"]),
             s.min_idepth_h_act,
-            F=Fd, M=M, C=C, A=A, h1=h1, w1=w1, dm_iters=40,
+            F=w.F, M=s.max_immature_per_frame,
+            C=self._ACT_C, A=self._ACT_A,
+            h1=self.calib.h[1], w1=self.calib.w[1], dm_iters=40,
             iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
             w_img=self.calib.w[0], h_img=self.calib.h[0],
         )
-        if overlap_fn is not None:
-            overlap_fn()
+        return flat_dev, new_valid
+
+    def _activate_adopt(self, prep, flat, new_valid):
+        """Adopt the (pulled) activation result: device-side deletions,
+        accepted-point insertion + residual wiring."""
+        s = self.s
+        w = self.window
+        p = w.pts
+        nf = prep["nf"]
+        newest = prep["newest"]
+        M = s.max_immature_per_frame
+        Fd = F = w.F
+        A = self._ACT_A
         # the device store's valid bits are already consumed; adopt the
         # returned array without a write-back dispatch
         self.imm_static = dict(self.imm_static, valid=new_valid)
-        flat = np.asarray(flat_dev)
         o = 2
         n_acc = min(int(flat[1]), A)
         validf = flat[o:o + Fd * M] > 0.5

@@ -124,6 +124,126 @@ def test_multiseq_system_end_to_end():
     assert n_ok >= 6
 
 
+@pytest.mark.slow
+def test_multiseq_lockstep_dispatch_count_independent_of_B():
+    """Per-lockstep device dispatches must not scale with B: the descent,
+    deferred immature trace, re-track ladder, point activation, and window
+    GN each ride ONE vmapped program for all sequences.  Counted by
+    intercepting the per-system dispatch methods after every sequence has
+    initialized (init legitimately runs per-system)."""
+    from nalo_slam_tpu.parallel import MultiSeqSystem
+    from nalo_slam_tpu.system.full_system import FullSystem
+
+    B = 4
+    n = 16
+    calib = default_calib(240, 180, f=200.0)
+    mesh = make_mesh(dp=4, tp=1)
+    s = Settings(
+        max_window_frames=8, max_points=2048, max_immature_per_frame=512,
+        desired_point_density=500.0, desired_immature_density=400.0,
+        use_lidar=False, dense_track=False, plane_optimize=False,
+    )
+    scene = PlaneScene(calib, z0=3.0)
+
+    def gt_pose(k):
+        xi = np.array([0.05 * k, 0.01 * np.sin(0.2 * k), 0.02 * k,
+                       0.0, 0.004 * np.sin(0.15 * k), 0.0])
+        # pose jump at k=12 breaks the constant-velocity hypothesis and
+        # knocks every sequence off the tracking fast path -> the re-track
+        # ladder must batch too
+        if k >= 12:
+            xi[0] += 0.30
+        return SE3.exp(xi)
+
+    rng = np.random.default_rng(11)
+    # IDENTICAL sequences -> coincident keyframes every lock-step
+    base_frames = []
+    for k in range(n):
+        img, _ = scene.render(gt_pose(k))
+        base_frames.append(
+            img + rng.normal(scale=1.2, size=img.shape).astype(np.float32))
+
+    ms = MultiSeqSystem(s, calib, B, mesh)
+
+    counts = {"track": 0, "trace": 0, "retrack": 0, "activate": 0, "gn": 0,
+              "batched_trace": 0, "batched_retrack_n": 0,
+              "batched_act": 0}
+    orig = {
+        "track": FullSystem._run_track,
+        "trace": FullSystem._dispatch_trace,
+        "retrack": FullSystem._run_retrack,
+        "activate": FullSystem._activate_dispatch,
+    }
+
+    def wrap(name):
+        def f(self, *a, **k):
+            # _dispatch_trace(None) is a no-op, not a device dispatch
+            if not (name == "trace" and a and a[0] is None):
+                counts[name] += 1
+            return orig[name](self, *a, **k)
+        return f
+
+    obt = ms._dispatch_batched_trace
+    obr = ms._batched_retrack
+    oba = ms._dispatch_batched_activation
+
+    def bt(jobs):
+        counts["batched_trace"] += 1
+        if len(jobs) == 1:   # single-job fallback uses the per-system path
+            counts["trace"] -= 1
+        return obt(jobs)
+
+    def br(sink):
+        counts["batched_retrack_n"] += len(sink)
+        return obr(sink)
+
+    def ba(act):
+        counts["batched_act"] += 1
+        return oba(act)
+
+    armed = False
+    for k in range(n):
+        if not armed and all(sy.initialized for sy in ms.systems):
+            # steady state reached: from here on, nothing may dispatch
+            # per-system
+            for nm, fn in (("track", wrap("track")),
+                           ("trace", wrap("trace")),
+                           ("retrack", wrap("retrack")),
+                           ("activate", wrap("activate"))):
+                setattr(FullSystem, f"_run_track" if nm == "track" else
+                        "_dispatch_trace" if nm == "trace" else
+                        "_run_retrack" if nm == "retrack" else
+                        "_activate_dispatch", fn)
+            ms._dispatch_batched_trace = bt
+            ms._batched_retrack = br
+            ms._dispatch_batched_activation = ba
+            armed = True
+        ms.add_frames([base_frames[k]] * B, timestamp=float(k), incoming_id=k)
+    try:
+        assert armed, "sequences never all initialized"
+        for sy in ms.systems:
+            assert sy.initialized and not sy.is_lost
+        kfs = [sy.statistics["n_keyframes"] for sy in ms.systems]
+        assert min(kfs) >= 3, f"too few keyframes to exercise the KF path: {kfs}"
+        # per-system dispatches after steady state: NONE
+        assert counts["track"] == 0, counts
+        assert counts["trace"] == 0, counts
+        assert counts["retrack"] == 0, counts
+        assert counts["activate"] == 0, counts
+        # the batched programs actually ran
+        assert counts["batched_trace"] >= 3, counts
+        assert counts["batched_act"] >= 1, counts
+        assert counts["batched_retrack_n"] >= 2, (
+            "brightness shock should have sent every sequence through the "
+            f"batched ladder: {counts}")
+    finally:
+        for nm, fn in orig.items():
+            setattr(FullSystem, "_run_track" if nm == "track" else
+                    "_dispatch_trace" if nm == "trace" else
+                    "_run_retrack" if nm == "retrack" else
+                    "_activate_dispatch", fn)
+
+
 def test_vmapped_window_ba_matches_per_window():
     """Multi-sequence BA as ONE sharded batched GN call: vmap the fused
     device optimizer (backend/device_opt.py) over B independent windows,
