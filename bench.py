@@ -138,6 +138,27 @@ def main():
     except Exception:
         p0_fps, p0_kf_ms, p0_kf_ba_ms = 0.0, 0.0, 0.0
 
+    # --- pass 4: KITTI-class operating point (1224x368, preset-0
+    # densities -- the BASELINE.md north-star workload shape) ---
+    try:
+        kw, kh = 1224, 368
+        kcalib = PyramidCalib.make(kw, kh, 707.0, 707.0,
+                                   (kw - 1) / 2, (kh - 1) / 2)
+        kscene = PlaneScene(kcalib, z0=6.0)
+        kframes = []
+        for k in range(40):
+            xi = np.array([0.10 * k, 0.01 * np.sin(0.2 * k), 0.06 * k,
+                           0.0, 0.002 * np.sin(0.11 * k), 0.0])
+            img, _ = kscene.render(SE3.exp(xi))
+            kframes.append(
+                img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
+        kt_fps, kt_metrics = _run(s0, kcalib, kframes, warmup=15)
+        kt_stage = kt_metrics.summary().get("kf_stage_ms_median", {})
+        kt_kf_ms = kt_stage.get("total", 0.0)
+        kt_kf_ba_ms = kt_stage.get("optimize", 0.0)
+    except Exception:
+        kt_fps, kt_kf_ms, kt_kf_ba_ms = 0.0, 0.0, 0.0
+
     print(json.dumps({
         "metric": "tracked_fps_synthetic_320x240",
         "value": round(fps, 2),
@@ -150,6 +171,9 @@ def main():
         "preset0_fps": round(p0_fps, 2),
         "preset0_kf_ms": round(p0_kf_ms, 1),
         "preset0_kf_ba_ms": round(p0_kf_ba_ms, 1),
+        "kitti_class_fps": round(kt_fps, 2),
+        "kitti_class_kf_ms": round(kt_kf_ms, 1),
+        "kitti_class_kf_ba_ms": round(kt_kf_ba_ms, 1),
     }))
 
 

@@ -790,10 +790,18 @@ def make_device_optimizer_fused(settings, F: int, P: int):
         newt = jnp.einsum("f,fi->i", (jnp.arange(F) == newest).astype(tw.dtype), tw)
         # EVERYTHING the host needs, as ONE flat pull (each separate
         # device->host transfer costs a ~30 ms tunnel round trip):
-        # [small | newR(9) | newt(3) | pts_pack(P*3) | res_bits(P*F)]
+        # [small | newR(9) | newt(3) | pts_pack(P*3) | res_bits(P*F/4)]
+        # res_bits ride as 4 uint8 per f32 word (bitcast, NOT a convert:
+        # pulling one byte per flag grid instead of one f32 cuts ~0.4 MB
+        # off the per-KF pull at preset-0 on a ~19 ms/MB link); byte
+        # values <=127 keep the exponent <255, so no NaN bit patterns.
+        # The host must read these words as raw f32 bits (view, never a
+        # float64 conversion) -- see _wo_gn_adopt.
+        bits_f32 = jax.lax.bitcast_convert_type(
+            res_bits.reshape(P * F // 4, 4), jnp.float32)
         flat = jnp.concatenate([
             small, newR.reshape(-1), newt,
-            pts_pack.reshape(-1), res_bits.reshape(-1).astype(jnp.float32),
+            pts_pack.reshape(-1), bits_f32,
         ])
         return dict(res=res3, jstore=jstore3, pts=pts2, res_bits=res_bits,
                     small=small, pts_pack=pts_pack, flat=flat,

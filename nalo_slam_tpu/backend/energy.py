@@ -1069,24 +1069,30 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     )
     # sync with ONE flat pull (every extra D2H pull costs a ~30 ms tunnel
     # round trip): [small | newR | newt | pts_pack | res_bits]
-    return _wo_gn_adopt(self, np.asarray(out["flat"], np.float64),
+    return _wo_gn_adopt(self, np.asarray(out["flat"]),
                         out["jstore"], out["res"]["energy"],
                         out["center_newest"], meta)
 
 
 def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):
-    """Adopt the GN program's flat pull + device-resident outputs."""
+    """Adopt the GN program's flat pull + device-resident outputs.
+
+    flat must be the RAW f32 pull: the res_bits tail is bitcast-packed
+    uint8 quadruples whose f32 bit patterns do not survive a float64
+    conversion (device_opt gn tail)."""
+    flat = np.ascontiguousarray(np.asarray(flat, np.float32))
     newest = meta["newest"]
     active_pre = meta["active_pre"]
     self.jstore = jstore_dev
     F, P = self.F, self.P
     n_small = 6 + F + 10 * F
-    small_np = flat[:n_small]
+    small_np = flat[:n_small].astype(np.float64)
     o = n_small
-    newR = flat[o:o + 9].reshape(3, 3); o += 9
-    newt = flat[o:o + 3]; o += 3
+    newR = flat[o:o + 9].astype(np.float64).reshape(3, 3); o += 9
+    newt = flat[o:o + 3].astype(np.float64); o += 3
     pts_pack = flat[o:o + P * 3].reshape(P, 3); o += P * 3
-    bits = flat[o:o + P * F].reshape(P, F).astype(np.int32)
+    bits = (flat[o:o + P * F // 4].view(np.uint8)
+            .reshape(P, F).astype(np.int32))
 
     self.last_energy = float(small_np[0])
     self.res_in_a = max(int(small_np[1]), 1)

@@ -110,6 +110,29 @@ class LiveViewer(Output3DWrapper):
                 self._clouds[kf_id] = dict(v=self._version, pose=pose, n=n,
                                            final=bool(final), buf=buf)
 
+    def publish_cloud(self, kf_id: int, pose12, xyz_cam: np.ndarray,
+                      gray: np.ndarray, final: bool = False):
+        """Generic cloud feed (camera-frame points + camToWorld [R|t] as 12
+        floats): lets non-SLAM producers (e.g. the BTS live-3D demo,
+        tools/bts_live_3d.py) stream into the same viewer."""
+        pose12 = [float(x) for x in np.asarray(pose12).reshape(-1)]
+        R = np.asarray(pose12, np.float32).reshape(3, 4)
+        world = xyz_cam.astype(np.float32) @ R[:, :3].T + R[:, 3]
+        g = np.clip(np.asarray(gray), 0, 255).astype(np.uint8)
+        if len(world) > self.max_points_per_kf:
+            step = int(np.ceil(len(world) / self.max_points_per_kf))
+            world, g = world[::step], g[::step]
+        buf = world.astype("<f4").tobytes() + g.tobytes()
+        with self._lock:
+            self._version += 1
+            if kf_id not in self._clouds:
+                self._kf_order.append(kf_id)
+            self._clouds[kf_id] = dict(v=self._version, pose=pose12,
+                                       n=len(world), final=bool(final),
+                                       buf=buf)
+            self._cur_pose = pose12
+            self._traj.append([pose12[3], pose12[7], pose12[11]])
+
     def publish_graph(self, connectivity):
         edges = [[int(h), int(t), int(na), int(nm)]
                  for (h, t), (na, nm) in connectivity.items()]

@@ -372,7 +372,8 @@ class MultiSeqSystem:
             jnp.asarray([preps[r][4]["max_iters"] for r in rows], jnp.int32),
             jnp.asarray([preps[r][4]["newest"] for r in rows], jnp.int32),
         )
-        flat_np = np.asarray(out["flat"], np.float64)
+        # raw f32: the res_bits tail is bitcast-packed (see _wo_gn_adopt)
+        flat_np = np.asarray(out["flat"])
         for i, ((s, f), w, prep, ctx) in enumerate(
                 zip(jobs, wins, preps, ctxs)):
             meta = prep[4]

@@ -67,3 +67,73 @@ def test_compute_errors_reference_values():
     np.testing.assert_allclose(m["abs_rel"], 0.25)
     np.testing.assert_allclose(m["rmse"], 1.0)
     assert m["d1"] == 0.0  # 5/4 == 1.25 is not strictly < 1.25
+
+
+def test_eval_scheduler_polls_new_checkpoints(tmp_path):
+    """run_bts_eval_schedule equivalent: every new step_<N> checkpoint is
+    evaluated exactly once and logged (mpmask/eval_schedule.py)."""
+    import json
+    import os
+
+    from nalo_slam_tpu.mpmask.eval_schedule import EvalScheduler, scan_checkpoints
+
+    d = str(tmp_path)
+    seen = []
+    sch = EvalScheduler(d, lambda s: (seen.append(s), {"d1": 0.9 + s})[1],
+                        interval=999.0)
+    assert sch.poll_once() == [] and scan_checkpoints(d) == []
+    os.makedirs(os.path.join(d, "step_0"))
+    os.makedirs(os.path.join(d, "step_100"))
+    assert sch.poll_once() == [0, 100]
+    assert sch.poll_once() == []          # nothing new -> no re-eval
+    os.makedirs(os.path.join(d, "step_200"))
+    open(os.path.join(d, "step_bogus"), "w").close()   # non-dir ignored
+    assert sch.poll_once() == [200]
+    assert seen == [0, 100, 200]
+    recs = [json.loads(l) for l in open(os.path.join(d, "eval_log.jsonl"))]
+    assert [r["step"] for r in recs] == [0, 100, 200]
+    assert recs[1]["d1"] == 100.9
+
+
+def test_bts_live_3d_unproject_and_publish():
+    """bts_live_3d equivalent: depth map -> camera-frame cloud -> viewer
+    publish_cloud (tools/bts_live_3d.py + LiveViewer.publish_cloud)."""
+    import json
+    import struct
+    import sys
+    import urllib.request
+    import os as _os
+
+    import numpy as np
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tools"))
+    from bts_live_3d import unproject
+    from nalo_slam_tpu.io.live_viewer import LiveViewer
+
+    h, w = 48, 64
+    depth = np.full((h, w), 2.0, np.float32)
+    depth[0, 0] = 0.0          # invalid -> dropped
+    gray = np.full((h, w), 128.0, np.float32)
+    fx = fy = 50.0
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    xyz, g = unproject(depth, gray, fx, fy, cx, cy, stride=2)
+    assert (xyz[:, 2] == 2.0).all() and len(xyz) == (h // 2) * (w // 2) - 1
+    # center pixel unprojects to the optical axis
+    ci = np.argmin(np.abs(xyz[:, 0]) + np.abs(xyz[:, 1]))
+    assert abs(xyz[ci, 0]) < 2 * 2.0 / fx and abs(xyz[ci, 1]) < 2 * 2.0 / fx
+
+    lv = LiveViewer(port=0)
+    try:
+        pose = np.concatenate([np.eye(3), [[0], [0], [1.0]]], 1)
+        lv.publish_cloud(0, pose, xyz, g)
+        st = json.loads(urllib.request.urlopen(
+            lv.url + "state?since=0&traj_n=0", timeout=10).read())
+        assert st["kfs"][0]["n"] == len(xyz)
+        raw = urllib.request.urlopen(lv.url + "cloud/0", timeout=10).read()
+        (n,) = struct.unpack("<i", raw[:4])
+        world = np.frombuffer(raw, "<f4", n * 3, 4).reshape(n, 3)
+        # world z = cam z + 1 (pose translation)
+        assert np.allclose(world[:, 2], 3.0)
+    finally:
+        lv.join()
