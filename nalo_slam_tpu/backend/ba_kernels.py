@@ -279,10 +279,18 @@ def accumulate_top(J, res_approx, active, p_host, F: int):
     acc_pf = jnp.einsum("pfki,pfkj->pfij", rows, rows, precision="highest")
     acc_pf = acc_pf * m[..., None, None]
 
+    # Pair reduction as a one-hot MXU matmul, NOT a scatter-add: XLA's
+    # TPU scatter into (F*F, 13, 13) costs ~17 ms per GN iteration at
+    # preset-0, and a (..., 13, 13)-minor layout pads every block to an
+    # (8, 128) tile (12x memory waste).  Flattening the blocks to a
+    # 169-minor and contracting with the (P*F, F*F) pair one-hot reads
+    # the blocks once at near-peak bandwidth and reduces on the MXU.
     pair = _pair_ids(p_host, F).reshape(-1)
-    acc = jax.ops.segment_sum(
-        acc_pf.reshape(-1, 13, 13), pair, num_segments=F * F
-    )
+    pair_oh = jax.nn.one_hot(pair, F * F, dtype=jnp.float32)
+    acc = jnp.einsum(
+        "pn,pe->ne", pair_oh, acc_pf.reshape(-1, 13 * 13),
+        precision="highest",
+    ).reshape(F * F, 13, 13)
     nres = jnp.sum(active)
 
     # per-point Schur ingredients (AccumulatedTopHessian.cpp:141-146)

@@ -211,16 +211,26 @@ def make_device_optimizer(settings, F: int, P: int):
         p_delta = pts["idepth"] - pts["idepth_zero"]
 
         maskA = res["exists"] & ~res["linearized"] & res["active"]
-        maskL = res["exists"] & res["linearized"] & res["active"]
 
         accA, nresA, HddA, bdA, HcdA = K.accumulate_top(
             jstore, jstore["resF"], maskA, pts["host"], F)
-        resL = K.res_approx_mode1(jstore, dpair, pts["host"], c_delta, p_delta)
-        accL, nresL, HddL, bdL, HcdL = K.accumulate_top(
-            jstore, resL, maskL, pts["host"], F)
 
         ACC_A, HfC_A, Hpp_A, bC_A, bf_A = _stitch_top_dev(accA, inp["adH"], inp["adT"], F)
-        ACC_L, HfC_L, Hpp_L, bC_L, bf_L = _stitch_top_dev(accL, inp["adH"], inp["adT"], F)
+        # The L (FEJ-linearized) system is structurally EMPTY in the live
+        # window: fixLinearizationF is marg-only and marginalization drops
+        # the residual, so r_linearized is false for every window residual
+        # (guarded by an assert in _wo_gn_prepare).  Its accumulation --
+        # a second accumulate_top + res_approx per iteration, ~12 ms at
+        # preset-0 -- reduces to the prior terms below over zeros.
+        ACC_L = jnp.zeros_like(ACC_A)
+        HfC_L = jnp.zeros_like(HfC_A)
+        Hpp_L = jnp.zeros_like(Hpp_A)
+        bC_L = jnp.zeros_like(bC_A)
+        bf_L = jnp.zeros_like(bf_A)
+        HddL = jnp.zeros_like(HddA)
+        bdL = jnp.zeros_like(bdA)
+        HcdL = jnp.zeros_like(HcdA)
+        maskL = jnp.zeros_like(maskA)
 
         # priors on the L system (stitchDouble usePrior branch)
         fdelta = states[:, :8]  # delta_prior (prior zero point is 0)

@@ -1028,6 +1028,11 @@ def _wo_pack_res(self):
 
 
 def _wo_gn_prepare(self, max_iters: int):
+    # the device GN skips the L-system accumulation on the strength of
+    # this invariant (see device_opt.solve_iteration)
+    assert not self.pts.r_linearized.any(), (
+        "live window carries FEJ-linearized residuals; the device GN "
+        "assumes the L system is empty (fixLinearizationF is marg-only)")
     """Host half of the device GN call: the flat input push plus the meta
     the adoption needs.  Split out so a multi-sequence executor can stack
     several windows' inputs and run them as ONE vmapped program."""
