@@ -147,7 +147,10 @@ def main():
         kscene = PlaneScene(kcalib, z0=6.0)
         kframes = []
         for k in range(40):
-            xi = np.array([0.10 * k, 0.01 * np.sin(0.2 * k), 0.06 * k,
+            # ~5 px/frame flow at f=707, z0=6 -- same optical-flow regime
+            # as the 320x240 pass (faster synthetic motion loses tracking
+            # on this scene; throughput is what this pass measures)
+            xi = np.array([0.04 * k, 0.01 * np.sin(0.2 * k), 0.03 * k,
                            0.0, 0.002 * np.sin(0.11 * k), 0.0])
             img, _ = kscene.render(SE3.exp(xi))
             kframes.append(

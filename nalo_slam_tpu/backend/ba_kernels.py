@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PATTERN
-from ..ops.interp import interp3
+from ..ops.interp import build_quad, interp3, interp3q
 
 # residual states
 RES_IN = 0
@@ -64,6 +64,9 @@ def linearize_residuals(
     huber_th,             # scalar
     ab_zero,              # (2,) 0/1 multipliers: zero JabF when affine fixed
     pattern_num: int = 8,
+    target_quad=None,     # (F, H*W, 12) prebuilt quad-tap tables; callers
+                          # whose linearize sits inside a device loop MUST
+                          # pass this (ops.interp.build_quad hoisting note)
 ):
     """Returns a dict of per-(P,F) Jacobian fields, energies and new states."""
     fx, fy, cx, cy = calib[0], calib[1], calib[2], calib[3]
@@ -163,11 +166,11 @@ def linearize_residuals(
     pat_ok = (Ku > 1.1) & (Kv > 1.1) & (Ku < W - 3) & (Kv < H - 3)
 
     # gather from each target frame: vmap interp over F
-    def gather_frame(dI_f, Ku_f, Kv_f):
-        return interp3(dI_f, Ku_f, Kv_f)
-
-    hit = jax.vmap(gather_frame, in_axes=(0, 1, 1), out_axes=1)(
-        target_dI, Ku, Kv
+    if target_quad is None:
+        target_quad = jax.vmap(build_quad)(target_dI)
+    hit = jax.vmap(lambda q, Ku_f, Kv_f: interp3q(q, H, W, Ku_f, Kv_f),
+                   in_axes=(0, 1, 1), out_axes=1)(
+        target_quad, Ku, Kv
     )  # (P, F, 8, 3)
     finite = jnp.isfinite(hit[..., 0])
     all_ok = jnp.all(pat_ok & finite, axis=-1) & center_ok  # (P, F)

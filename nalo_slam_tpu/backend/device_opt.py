@@ -30,6 +30,7 @@ import numpy as np
 from ..config import CPARS, SCALE_A, SCALE_B, SCALE_XI_TRANS
 from ..geometry import lie
 from . import ba_kernels as K
+from ..ops import interp as _interp
 from .ba_kernels import RES_IN, RES_OOB, RES_OUTLIER
 
 RES_NONE = 3
@@ -147,7 +148,7 @@ def make_device_optimizer(settings, F: int, P: int):
         [0.0 if s.affine_opt_mode_a < 0 else 1.0,
          0.0 if s.affine_opt_mode_b < 0 else 1.0], jnp.float32)
 
-    def linearize(images, pts, res, jstore, states, inp, f_eth):
+    def linearize(images, images_quad, pts, res, jstore, states, inp, f_eth):
         KRKi, Kt, aff = _precalc_dev(states, inp["evalR"], inp["evalt"],
                                      inp["calib_value"], inp["exposures"])
         out = K.linearize_residuals(
@@ -162,6 +163,7 @@ def make_device_optimizer(settings, F: int, P: int):
             outlier_th_sum=s.outlier_th_sum_component,
             huber_th=s.huber_th,
             ab_zero=ab_zero,
+            target_quad=images_quad,
         )
         return out
 
@@ -324,7 +326,12 @@ def make_device_optimizer(settings, F: int, P: int):
             return dict(res, state=jnp.where(act, RES_IN, res["state"]))
 
         res0 = reset_oob(res)
-        out0 = linearize(images, pts, res0, jstore, states0, inp, f_eth0)
+        # ONE quad-tap table build per program: the loop body closes over
+        # it, so XLA hoists it out of the while (an in-body build would
+        # re-materialize ~20 ms/iteration at KITTI-class shapes)
+        images_quad = jax.vmap(_interp.build_quad)(images)
+        out0 = linearize(images, images_quad, pts, res0, jstore, states0,
+                         inp, f_eth0)
         f_eth1 = frame_energy_th(out0, res0, newest, f_eth0)
         res1, jstore1 = apply_res(out0, res0, jstore)
 
@@ -335,7 +342,8 @@ def make_device_optimizer(settings, F: int, P: int):
             new_states, new_calib, pts2, nresA, canbreak = solve_iteration(
                 c["it"], c["states"], c["calib"], c["pts"], c["res"], c["jstore"], inp
             )
-            out = linearize(images, pts2, c["res"], c["jstore"], new_states, inp, c["f_eth"])
+            out = linearize(images, images_quad, pts2, c["res"],
+                            c["jstore"], new_states, inp, c["f_eth"])
             f_eth = frame_energy_th(out, c["res"], newest, c["f_eth"])
             res2, jstore2 = apply_res(out, c["res"], c["jstore"])
             new = dict(it=c["it"] + 1, states=new_states, calib=new_calib,

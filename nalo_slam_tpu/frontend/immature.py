@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PATTERN
-from ..ops.interp import interp1, interp3
+from ..ops.interp import build_quad, interp1, interp1q, interp3, interp3q
 
 IPS_GOOD = 0
 IPS_OOB = 1
@@ -152,7 +152,11 @@ def trace_points(
     sy = pty[:, None] + steps[None, :] * dyn[:, None]
     px = sx[:, :, None] + rp[:, None, :, 0]               # (N,100,8)
     py = sy[:, :, None] + rp[:, None, :, 1]
-    hit = interp1(new_dI[..., 0], px, py)
+    # quad tables built once, OUTSIDE the GN scan below (a build inside
+    # the scan body re-materializes the ~10x tile-padded table per step)
+    quad1 = build_quad(new_dI[..., 0])
+    quad3 = build_quad(new_dI)
+    hit = interp1q(quad1, h_img, w_img, px, py)
     finite = jnp.isfinite(hit)
     res = hit - (aff[:, None, None, 0] * color[:, None, :] + aff[:, None, None, 1])
     absr = jnp.abs(res)
@@ -182,7 +186,7 @@ def trace_points(
         bu, bv, be, step_back, ub, vb, done = carry
         hx = bu[:, None] + rp[:, :, 0]
         hy = bv[:, None] + rp[:, :, 1]
-        hc = interp3(new_dI, hx, hy)
+        hc = interp3q(quad3, h_img, w_img, hx, hy)
         fin = jnp.isfinite(hc[..., 0])
         r = hc[..., 0] - (aff[:, None, 0] * color + aff[:, None, 1])
         dres = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]

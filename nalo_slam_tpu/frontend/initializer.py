@@ -31,7 +31,7 @@ from scipy.spatial import cKDTree
 
 from ..config import PATTERN, Settings
 from ..geometry import SE3, PyramidCalib
-from ..ops.interp import interp3
+from ..ops.interp import build_quad, interp1q, interp3, interp3q
 from .pixel_selector import PixelSelector, make_pixel_status
 
 _ALPHA_K = 2.5 * 2.5
@@ -50,6 +50,8 @@ def _calc_res_gs(
     K,                         # (fx, fy, cx, cy)
     snapped,                   # bool scalar
     huber_th: float,
+    new_quad=None, ref_quad0=None,   # prebuilt quad tables: REQUIRED by
+                                     # loop-body callers (build_quad note)
 ):
     """Fused calcResAndGS (reference :338-610).  Returns reduced systems and
     per-point updates."""
@@ -73,8 +75,12 @@ def _calc_res_gs(
 
     inb = (Ku > 1) & (Kv > 1) & (Ku < w - 2) & (Kv < h - 2) & (new_id > 0)
 
-    hit = interp3(new_dI, Ku, Kv)           # (P,8,3)
-    rlR = interp3(ref_dI, up, vp)[..., 0]   # (P,8)
+    if new_quad is None:
+        new_quad = build_quad(new_dI)
+    if ref_quad0 is None:
+        ref_quad0 = build_quad(ref_dI[..., 0])
+    hit = interp3q(new_quad, h, w, Ku, Kv)          # (P,8,3)
+    rlR = interp1q(ref_quad0, h, w, up, vp)         # (P,8) intensity only
     finite = jnp.isfinite(hit[..., 0]) & jnp.isfinite(rlR)
     ok_pix = inb & finite
     point_ok = valid & is_good & jnp.all(ok_pix, axis=1)

@@ -123,13 +123,14 @@ def make_level_lm(lvl: int, K, ref_dI, huber_th: float, fix_affine: bool):
     max_it = _MAX_ITERATIONS[min(lvl, len(_MAX_ITERATIONS) - 1)]
     Kj = jnp.asarray(K, jnp.float32)
 
-    def ev(new_dI, state, R, t, aff, snapped):
+    def ev(new_dI, state, R, t, aff, snapped, quads=None):
+        nq, rq = quads if quads is not None else (None, None)
         return _calc_res_gs(
             ref_dI, new_dI,
             state["u"], state["v"], state["idepth_new"], state["is_good"],
             state["energy"], state["iR"], state["outlier_th"], state["valid"],
             R, t, jnp.stack([jnp.exp(aff[0]), aff[1]]), Kj, snapped,
-            huber_th=huber_th,
+            huber_th=huber_th, new_quad=nq, ref_quad0=rq,
         )
 
     def apply_step(state, r):
@@ -190,7 +191,11 @@ def make_level_lm(lvl: int, K, ref_dI, huber_th: float, fix_affine: bool):
 
     @jax.jit
     def run(new_dI, state, R, t, aff, snapped):
-        r0 = ev(new_dI, state, R, t, aff, snapped)
+        # quad tables built ONCE per descent; the LM while body closes
+        # over them (ops.interp.build_quad hoisting note)
+        from ..ops.interp import build_quad
+        quads = (build_quad(new_dI), build_quad(ref_dI[..., 0]))
+        r0 = ev(new_dI, state, R, t, aff, snapped, quads)
         state = apply_step(state, r0)
 
         def cond(c):
@@ -204,7 +209,7 @@ def make_level_lm(lvl: int, K, ref_dI, huber_th: float, fix_affine: bool):
             tn = jnp.einsum("ij,j->i", dR, c["t"], precision="highest") + dt
             affn = c["aff"] + inc[6:8]
             st = do_step(c["state"], inc, c["lam"])
-            rn = ev(new_dI, st, Rn, tn, affn, c["snapped"])
+            rn = ev(new_dI, st, Rn, tn, affn, c["snapped"], quads)
             ec_old, ec_new = calc_ec(st, c["snapped"])
             e_old = r["E_A"] + r["alpha_energy"] + ec_old
             e_new = rn["E_A"] + rn["alpha_energy"] + ec_new

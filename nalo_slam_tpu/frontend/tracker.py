@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import interp3
+from ..ops.interp import build_quad, interp3q
 
 # max LM iterations per level (reference CoarseTracker.cpp:1090)
 _MAX_ITERATIONS = (10, 20, 50, 50, 50, 50)
@@ -138,26 +138,75 @@ def make_coarse_depth_maps(pt_u, pt_v, pt_idepth, pt_weight, pt_valid, dIs, shap
     return tuple(out)
 
 
+def pc_caps_for(shapes, settings, dense_max: int = 0):
+    """Static per-level caps for the compact pc buffers.
+
+    The 3x3 dilation bounds level-0 valid pixels by 9x the projected point
+    count; levels only shrink under the 2x2 sum-pyramid (a coarse pixel
+    needs a valid fine pixel).  Expected points = 1.5x the density target
+    (the activation controller overshoots transiently) + the dense-frontend
+    budget.  Overflow thins uniformly (see compact_pc), so a miss degrades
+    accuracy smoothly instead of dropping image regions."""
+    want = int(9 * (1.5 * settings.desired_point_density + dense_max))
+    cap0 = max(4096, -(-want // 4096) * 4096)
+    return tuple(int(min(h * w, cap0)) for h, w in shapes)
+
+
+@partial(jax.jit, static_argnames=("caps",))
+def compact_pc(maps, dIs, caps):
+    """Extract the reference's pc buffers (CoarseTracker.h pc_u/pc_v/
+    pc_idepth/pc_color, filled at :510-538) from the per-level (idepth,
+    valid) maps: fixed-cap compaction of the valid pixels in row-major
+    order.  The tracker then iterates ~valid-count points instead of the
+    full grid (2-4%% valid at level 0 -- a 10-25x sample reduction).
+
+    If a level's valid count exceeds its cap, the selection thins
+    UNIFORMLY by rank (not a row-major prefix, which would drop the image
+    bottom).  Returns per level (px, py, idepth, color, valid)."""
+    out = []
+    for lvl, cap in enumerate(caps):
+        idm, vm = maps[lvl]
+        h, w = vm.shape
+        flat_v = vm.reshape(-1)
+        n = jnp.sum(flat_v)
+        rank = jnp.cumsum(flat_v)          # 1-based rank among valid
+        scale = jnp.minimum(1.0, cap / jnp.maximum(n.astype(jnp.float32), 1.0))
+        keep = flat_v & (jnp.floor(rank * scale)
+                         != jnp.floor((rank - 1) * scale))
+        (idx,) = jnp.nonzero(keep, size=cap, fill_value=0)
+        valid = jnp.arange(cap) < jnp.minimum(n, cap)
+        px = (idx % w).astype(jnp.float32)
+        py = (idx // w).astype(jnp.float32)
+        pid = idm.reshape(-1)[idx]
+        color = dIs[lvl][..., 0].reshape(-1)[idx]
+        out.append((px, py, pid, color, valid))
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # Per-level residual + GN system (fused calcRes + calcGSSSE)
 # ---------------------------------------------------------------------------
 
 
 def _res_and_gn(
-    lvl_static,
-    ray,          # (H,W,3) = Ki @ (x,y,1) precomputed
-    xgrid, ygrid, # (H,W)
-    ref_idepth, ref_valid, ref_color,
-    new_dI,       # (H,W,3)
+    lvl_static, h, w,
+    pc_px, pc_py,             # (N,) compact pc pixel coords
+    pc_idepth, pc_valid, pc_color,
+    new_quad,     # build_quad table of the (H,W,3) target stack
     fx, fy, cx, cy,
     R, t, aff_a, aff_b, b0,
     huber_th, cutoff,
 ):
-    """Returns dict with E, num, sat, shiftT, shiftRT, H (8,8), b (8,)."""
-    h, w = ref_idepth.shape
-    idp = ref_idepth
+    """Returns dict with E, num, sat, shiftT, shiftRT, H (8,8), b (8,).
+
+    Iterates the compact pc point list (reference calcRes :891-1049 runs
+    over pc_u/pc_v/pc_idepth/pc_color, NOT the pixel grid) -- ~25x fewer
+    samples than the dense-map formulation at level 0."""
+    idp = pc_idepth
+    ray = jnp.stack([(pc_px - cx) / fx, (pc_py - cy) / fy,
+                     jnp.ones_like(pc_px)], axis=-1)
     # warp: pt = R @ ray + t * id   (reference :954 uses RKi*(x,y,1)+t*id)
-    pt = jnp.einsum("ij,hwj->hwi", R, ray, precision="highest") + t[None, None, :] * idp[..., None]
+    pt = jnp.einsum("ij,nj->ni", R, ray, precision="highest") + t[None, :] * idp[..., None]
     iz = 1.0 / pt[..., 2]
     u = pt[..., 0] * iz
     v = pt[..., 1] * iz
@@ -166,13 +215,13 @@ def _res_and_gn(
     new_idepth = idp * iz
 
     inb = (Ku > 2) & (Kv > 2) & (Ku < w - 3) & (Kv < h - 3) & (new_idepth > 0)
-    valid = ref_valid & inb
+    valid = pc_valid & inb
 
-    hit = interp3(new_dI, Ku, Kv)
+    hit = interp3q(new_quad, h, w, Ku, Kv)
     finite = jnp.isfinite(hit[..., 0])
     valid = valid & finite
 
-    residual = hit[..., 0] - (aff_a * ref_color + aff_b)
+    residual = hit[..., 0] - (aff_a * pc_color + aff_b)
     absr = jnp.abs(residual)
     hw = jnp.where(absr < huber_th, 1.0, huber_th / jnp.maximum(absr, 1e-12))
 
@@ -196,7 +245,7 @@ def _res_and_gn(
             -(u * v * dx + dy * (1.0 + v * v)),
             u * v * dy + dx * (1.0 + u * u),
             u * dy - v * dx,
-            aff_a * (b0 - ref_color),
+            aff_a * (b0 - pc_color),
             -jnp.ones_like(u),
         ],
         axis=-1,
@@ -224,12 +273,12 @@ def _res_and_gn(
         # projections of the reference points, +/- t.
         def proj_shift(use_R, sign):
             Rm = R if use_R else jnp.eye(3, dtype=R.dtype)
-            p = jnp.einsum("ij,hwj->hwi", Rm, ray, precision="highest") + sign * t[None, None, :] * idp[..., None]
+            p = jnp.einsum("ij,nj->ni", Rm, ray, precision="highest") + sign * t[None, :] * idp[..., None]
             uu = fx * p[..., 0] / p[..., 2] + cx
             vv = fy * p[..., 1] / p[..., 2] + cy
-            return (uu - xgrid) ** 2 + (vv - ygrid) ** 2
+            return (uu - pc_px) ** 2 + (vv - pc_py) ** 2
 
-        m = ref_valid.astype(jnp.float32)
+        m = pc_valid.astype(jnp.float32)
         nref = jnp.maximum(jnp.sum(m), 1.0)
         shiftT = jnp.sum(m * (proj_shift(False, 1.0) + proj_shift(False, -1.0))) / (2.0 * nref)
         shiftRT = jnp.sum(m * (proj_shift(True, 1.0) + proj_shift(True, -1.0))) / (2.0 * nref)
@@ -289,33 +338,26 @@ def make_track_fn(shapes, Ks, settings, affine_mode: int, min_level: int = 0):
     used to triage the 26-hypothesis ladder cheaply before one full descent
     on the winner (the batched analog of the reference's per-level early
     abort, FullSystem.cpp:516-656).
-    Returns track(R0, t0, ab0, ref_maps, ref_colors, new_dIs, exposures,
+    Returns track(R0, t0, ab0, ref_pc, new_dIs, exposures,
     ref_aff) -> (R, t, ab, last_res (L,), flow (2,), ok_affine).
     """
     levels = len(shapes)
     huber = settings.huber_th
     base_cutoff = settings.coarse_cutoff_th
 
-    rays = []
-    grids = []
-    for lvl in range(levels):
-        h, w = shapes[lvl]
-        fx, fy, cx, cy = Ks[lvl]
-        yy, xx = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
-        ray = np.stack([(xx - cx) / fx, (yy - cy) / fy, np.ones_like(xx)], axis=-1)
-        rays.append(jnp.asarray(ray))
-        grids.append((jnp.asarray(xx), jnp.asarray(yy)))
-
     def run_level(lvl, R, t, ab, level_inputs):
-        ref_idepth, ref_valid, ref_color, new_dI, exps, ref_aff = level_inputs
+        pc, new_dI, exps, ref_aff = level_inputs
+        pc_px, pc_py, pc_id, pc_color, pc_valid = pc
         fx, fy, cx, cy = Ks[lvl]
-        ray = rays[lvl]
-        xg, yg = grids[lvl]
+        h, w = shapes[lvl]
+        # quad-tap table built ONCE per level: the LM/cutoff while loops
+        # close over it (an in-body build re-materializes every iteration)
+        new_quad = build_quad(new_dI)
 
         def ev(R, t, ab, cutoff):
             a, b = aff_from_to(exps[0], exps[1], ref_aff[0], ref_aff[1], ab[0], ab[1])
             return _res_and_gn(
-                lvl, ray, xg, yg, ref_idepth, ref_valid, ref_color, new_dI,
+                lvl, h, w, pc_px, pc_py, pc_id, pc_valid, pc_color, new_quad,
                 fx, fy, cx, cy, R, t, a, b, ref_aff[1], huber, cutoff,
             )
 
@@ -386,9 +428,9 @@ def make_track_fn(shapes, Ks, settings, affine_mode: int, min_level: int = 0):
         flow = jnp.stack([res["shiftT"], res["shiftRT"]])
         return state["R"], state["t"], state["ab"], level_rmse, flow, cutoff_mult
 
-    def track(R0, t0, ab0, ref_maps, ref_colors, new_dIs, exposures, ref_aff):
-        """ref_maps: tuple per level of (idepth, valid); ref_colors: tuple of
-        (H,W) reference intensities; new_dIs: tuple of (H,W,3)."""
+    def track(R0, t0, ab0, ref_pc, new_dIs, exposures, ref_aff):
+        """ref_pc: tuple per level of compact_pc output (px, py, idepth,
+        color, valid); new_dIs: tuple of (H,W,3)."""
         R, t, ab = R0, t0, ab0
         last_res = jnp.full((levels,), jnp.nan, jnp.float32)
         flow_out = jnp.full((2,), 1000.0, jnp.float32)
@@ -396,7 +438,7 @@ def make_track_fn(shapes, Ks, settings, affine_mode: int, min_level: int = 0):
 
         for lvl in range(levels - 1, min_level - 1, -1):
             inputs = (
-                ref_maps[lvl][0], ref_maps[lvl][1], ref_colors[lvl],
+                ref_pc[lvl],
                 new_dIs[lvl], exposures, ref_aff,
             )
             R, t, ab, rmse, flow, cmult = run_level(lvl, R, t, ab, inputs)

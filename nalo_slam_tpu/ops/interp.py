@@ -28,46 +28,48 @@ def _prep(x, y, h, w):
     return ix, iy, w00, w10, w01, w11
 
 
-def interp1(img: jnp.ndarray, x, y):
-    """img (H, W) -> values at (x, y), bilinear.
+def build_quad(img: jnp.ndarray):
+    """(H, W[, C]) image -> (H*W, 4[*C]) quad-tap table.
 
-    Fetches the four taps as ONE 4-wide row gather from a (H*W, 4) quad
-    layout built in-jit (pad+stack, ~free at image sizes) instead of four
-    scalar gathers: on TPU scalar gathers serialize while slice gathers
-    ride the lane axis -- measured 233 -> 45 ms at 4.7M samples on the
-    epipolar-search shape, bit-exact (tools/bench_interp.py).  The C=3
-    interp3 keeps the plain form: its per-tap gather is already a 3-wide
-    slice and the quad layout wins nothing there.
+    Row q[y*W+x] holds the four bilinear taps [v00 v10 v01 v11] (per
+    channel), so a sample needs ONE lane-parallel row gather instead of
+    four scalar/C-wide gathers (scalar gathers serialize on TPU; measured
+    233 -> 45 ms at 4.7M samples, tools/bench_interp.py).
+
+    The build is a bandwidth op, but the (.., 4*C)-minor layout tile-pads
+    to 128 lanes (~10x bytes): callers whose sampling sits inside a
+    while_loop/scan MUST build the quad ONCE outside and pass it to
+    interp1q/interp3q -- closed-over values hoist out of loop bodies,
+    an in-body build re-materializes the table every iteration (~20 ms
+    per build at KITTI-class 1224x368xF8).
     """
-    h, w = img.shape
-    ix, iy, w00, w10, w01, w11 = _prep(x, y, h, w)
-    p = jnp.pad(img, ((0, 1), (0, 1)))
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        p = jnp.pad(img, ((0, 1), (0, 1)))
+        q = jnp.stack(
+            [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]],
+            -1)
+        return q.reshape(h * w, 4)
+    c = img.shape[2]
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
     q = jnp.stack(
-        [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]], -1
-    ).reshape(h * w, 4)
-    rows = jnp.take(q, iy * w + ix, axis=0)
+        [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]], -2)
+    return q.reshape(h * w, 4 * c)
+
+
+def interp1q(quad: jnp.ndarray, h: int, w: int, x, y):
+    """Bilinear sample from a build_quad table of a (H, W) image."""
+    ix, iy, w00, w10, w01, w11 = _prep(x, y, h, w)
+    rows = jnp.take(quad, iy * w + ix, axis=0)
     return (w00 * rows[..., 0] + w10 * rows[..., 1]
             + w01 * rows[..., 2] + w11 * rows[..., 3])
 
 
-def interp3(img: jnp.ndarray, x, y):
-    """img (H, W, C) -> (..., C) values at (x, y), bilinear.
-
-    Used on dI stacks (intensity, ddx, ddy) like getInterpolatedElement33.
-    Same quad trick as interp1: ONE (4*C)-wide row gather from a
-    (H*W, 4*C) layout built in-jit instead of four C-wide gathers
-    (52.8 -> 33.7 ms at the 1M-sample BA-linearize shape, bit-exact --
-    the build is a cheap bandwidth op XLA fuses with the pad).  The
-    clipped ix<=w-2, iy<=h-2 indices never touch the zero pad row/col.
-    """
-    h, w = img.shape[:2]
-    c = img.shape[2]
+def interp3q(quad: jnp.ndarray, h: int, w: int, x, y):
+    """Bilinear sample from a build_quad table of a (H, W, C) image."""
+    c = quad.shape[-1] // 4
     ix, iy, w00, w10, w01, w11 = _prep(x, y, h, w)
-    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
-    q = jnp.stack(
-        [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]], -2
-    ).reshape(h * w, 4 * c)
-    rows = jnp.take(q, iy * w + ix, axis=0).reshape(ix.shape + (4, c))
+    rows = jnp.take(quad, iy * w + ix, axis=0).reshape(ix.shape + (4, c))
     # explicit chain == the classic 4-gather form's FP rounding, so the
     # layout change is bit-exact (a sum-reduce may reassociate)
     return (
@@ -76,3 +78,18 @@ def interp3(img: jnp.ndarray, x, y):
         + w01[..., None] * rows[..., 2, :]
         + w11[..., None] * rows[..., 3, :]
     )
+
+
+def interp1(img: jnp.ndarray, x, y):
+    """img (H, W) -> values at (x, y), bilinear (quad built in place --
+    do NOT call inside a loop body; see build_quad)."""
+    h, w = img.shape
+    return interp1q(build_quad(img), h, w, x, y)
+
+
+def interp3(img: jnp.ndarray, x, y):
+    """img (H, W, C) -> (..., C) values at (x, y), bilinear, like
+    getInterpolatedElement33 (quad built in place -- do NOT call inside a
+    loop body; see build_quad)."""
+    h, w = img.shape[:2]
+    return interp3q(build_quad(img), h, w, x, y)

@@ -29,7 +29,7 @@ class MultiSeqTracker:
         self.mesh = mesh
         self.levels = len(shapes)
         base = make_track_fn(shapes, Ks, settings, affine_mode)
-        batched = jax.vmap(base, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        batched = jax.vmap(base, in_axes=(0, 0, 0, 0, 0, 0, 0))
         dp = NamedSharding(mesh, P("dp"))
 
         def constrained(*args):
@@ -40,12 +40,12 @@ class MultiSeqTracker:
 
         self._fn = jax.jit(constrained)
 
-    def track(self, R0, t0, ab0, ref_maps, ref_colors, new_dIs, exposures, ref_aff):
+    def track(self, R0, t0, ab0, ref_pc, new_dIs, exposures, ref_aff):
         """All inputs carry a leading batch axis B (divisible by the mesh
-        'dp' size).  ref_maps: tuple per level of (idepth (B,H,W),
-        valid (B,H,W)); ref_colors/new_dIs: tuples of (B,H,W[,3])."""
+        'dp' size).  ref_pc: tuple per level of compact_pc leaves, each
+        (B, N_l); new_dIs: tuples of (B,H,W,3)."""
         with jax.sharding.set_mesh(self.mesh):
-            return self._fn(R0, t0, ab0, ref_maps, ref_colors, new_dIs,
+            return self._fn(R0, t0, ab0, ref_pc, new_dIs,
                             exposures, ref_aff)
 
 
@@ -105,15 +105,12 @@ class MultiSeqSystem:
         ab0 = np.zeros((B, 2), np.float32)
         exps = np.ones((B, 2), np.float32)
         raff = np.zeros((B, 2), np.float32)
-        maps_b = []
-        colors_b = []
+        pc_b = []
         new_b = []
         for lvl in range(L):
-            maps_b.append((
-                jnp.stack([pend[r][2][2]["maps"][lvl][0] for r in rows]),
-                jnp.stack([pend[r][2][2]["maps"][lvl][1] for r in rows]),
-            ))
-            colors_b.append(jnp.stack([pend[r][2][2]["colors"][lvl] for r in rows]))
+            pc_b.append(tuple(
+                jnp.stack([pend[r][2][2]["pc"][lvl][j] for r in rows])
+                for j in range(5)))
             new_b.append(jnp.stack([pend[r][1]["dIs"][lvl] for r in rows]))
         for i, r in enumerate(rows):
             b, frame, (tries, aff0, ref) = pend[r]
@@ -124,7 +121,7 @@ class MultiSeqSystem:
 
         out_dev = self.tracker.track(
             jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(ab0),
-            tuple(maps_b), tuple(colors_b), tuple(new_b),
+            tuple(pc_b), tuple(new_b),
             jnp.asarray(exps), jnp.asarray(raff),
         )
         # deferred traces of the previous lock-step ride as ONE vmapped
@@ -285,16 +282,14 @@ class MultiSeqSystem:
         fn = getattr(self, "_retrack_fn", None)
         if fn is None:
             fn = self._retrack_fn = jax.vmap(f0._get_retrack_fn(),
-                                             in_axes=(0,) * 9)
+                                             in_axes=(0,) * 8)
         L = self.levels
         packed_b = fn(
             jnp.stack([jnp.asarray(sink[r]["Rs"]) for r in rows]),
             jnp.stack([jnp.asarray(sink[r]["ts"]) for r in rows]),
             jnp.stack([jnp.asarray(sink[r]["abs_"]) for r in rows]),
-            tuple((jnp.stack([sink[r]["ref"]["maps"][l][0] for r in rows]),
-                   jnp.stack([sink[r]["ref"]["maps"][l][1] for r in rows]))
-                  for l in range(L)),
-            tuple(jnp.stack([sink[r]["ref"]["colors"][l] for r in rows])
+            tuple(tuple(jnp.stack([sink[r]["ref"]["pc"][l][j] for r in rows])
+                        for j in range(5))
                   for l in range(L)),
             tuple(jnp.stack([sink[r]["frame"]["dIs"][l] for r in rows])
                   for l in range(L)),

@@ -35,7 +35,8 @@ from ..backend.energy import WindowOptimizer
 from ..backend.window import FrameState, RES_IN, RES_OOB, RES_OUTLIER, RES_NONE
 from ..frontend.initializer import CoarseInitializer
 from ..frontend.pixel_selector import PixelSelector
-from ..frontend.tracker import make_track_fn, make_coarse_depth_maps, aff_from_to
+from ..frontend.tracker import (make_track_fn, make_coarse_depth_maps,
+                                compact_pc, pc_caps_for, aff_from_to)
 from ..frontend import immature as imm
 from ..nalo.dense_frontend import GroundState, dense_frontend_update
 from ..utils.metrics import MetricsLogger
@@ -240,6 +241,10 @@ class FullSystem:
         self.dense_maps: dict = {}    # kf frame_id -> MapPointCloud
         self.tsdf_volume = None
         self._dense_max = 4096
+        # static caps of the compact tracker pc buffers (tracker.compact_pc)
+        self._pc_caps = pc_caps_for(
+            self.shapes, settings,
+            self._dense_max if settings.dense_track else 0)
         am = (settings.affine_opt_mode_a < 0, settings.affine_opt_mode_b < 0)
         self._affine_mode = {(False, False): 0, (False, True): 1,
                              (True, False): 2, (True, True): 3}[am]
@@ -311,19 +316,20 @@ class FullSystem:
             jnp.zeros(Nd, f32), jnp.zeros(Nd, f32), jnp.zeros(Nd, f32),
             jnp.zeros(Nd, f32), jnp.zeros(Nd, bool), dIs, self.shapes)
         outs.append(maps)
-        colors = tuple(dIs[l][..., 0] for l in range(L))
+        pc = compact_pc(tuple(maps), dIs, self._pc_caps)
+        outs.append(pc)
         exps = jnp.ones(2, f32)
         raff = jnp.zeros(2, f32)
         eye = jnp.eye(3, dtype=f32)
         fn0 = self._get_track_fn(False, 0)
         packed0 = fn0(eye, jnp.zeros(3, f32), jnp.zeros(2, f32),
-                      tuple(maps), colors, dIs, exps, raff)
+                      pc, dIs, exps, raff)
         outs.append(packed0)
         nh = 31   # _motion_hypotheses always yields 5 + 26 candidates
         fnr = self._get_retrack_fn()
         outs.append(fnr(jnp.broadcast_to(eye, (nh, 3, 3)).copy(),
                         jnp.zeros((nh, 3), f32), jnp.zeros((nh, 2), f32),
-                        tuple(maps), colors, dIs, exps, raff, packed0))
+                        pc, dIs, exps, raff, packed0))
         jax.block_until_ready(outs)
 
     # ==================================================================
@@ -586,7 +592,7 @@ class FullSystem:
         exps = jnp.asarray([ref["exposure"], self._cur_exposure], jnp.float32)
         ref_aff = jnp.asarray(ref["aff"], jnp.float32)
         fn = self._get_track_fn(batched, min_level)
-        return fn(R0s, t0s, ab0s, ref["maps"], ref["colors"], new_dIs, exps, ref_aff)
+        return fn(R0s, t0s, ab0s, ref["pc"], new_dIs, exps, ref_aff)
 
     def _get_retrack_fn(self):
         """The whole re-track ladder as ONE program: batched coarse triage
@@ -607,17 +613,17 @@ class FullSystem:
                                  self._affine_mode, min_level=0)
             TOPK = 3
 
-            def retrack(Rs, ts, abs_, ref_maps, ref_colors, new_dIs, exps,
+            def retrack(Rs, ts, abs_, ref_pc, new_dIs, exps,
                         ref_aff, packed_h0):
                 Rb, tb, abb, resb, _fl, okb = jax.vmap(
-                    coarse, in_axes=(0, 0, 0, None, None, None, None, None)
-                )(Rs, ts, abs_, ref_maps, ref_colors, new_dIs, exps, ref_aff)
+                    coarse, in_axes=(0, 0, 0, None, None, None, None)
+                )(Rs, ts, abs_, ref_pc, new_dIs, exps, ref_aff)
                 score = jnp.where(okb & jnp.isfinite(resb[:, ml]),
                                   resb[:, ml], jnp.inf)
                 _, topi = jax.lax.top_k(-score, TOPK)
                 Rk, tk, abk, resk, flowk, okk = jax.vmap(
-                    full, in_axes=(0, 0, 0, None, None, None, None, None)
-                )(Rb[topi], tb[topi], abb[topi], ref_maps, ref_colors,
+                    full, in_axes=(0, 0, 0, None, None, None, None)
+                )(Rb[topi], tb[topi], abb[topi], ref_pc,
                   new_dIs, exps, ref_aff)
                 # fast-path h0 full-descent result as the (TOPK+1)-th candidate
                 L = resk.shape[-1]
@@ -651,7 +657,7 @@ class FullSystem:
         ref_aff = jnp.asarray(ref["aff"], jnp.float32)
         return self._get_retrack_fn()(
             jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(abs_),
-            ref["maps"], ref["colors"], new_dIs, exps, ref_aff,
+            ref["pc"], new_dIs, exps, ref_aff,
             jnp.asarray(packed_h0))
 
     def _track_h0_inputs(self, frame):
@@ -1458,10 +1464,12 @@ class FullSystem:
             self.frame_pyramids[id(w.frames[newest])][0], self.shapes,
         )
         dIs = self.frame_pyramids[id(w.frames[newest])][0]
-        colors = tuple(dIs[l][..., 0] for l in range(self.calib.levels))
+        # compact pc buffers (reference pc_u/v/idepth/color): the tracker
+        # iterates these instead of the 2-4%%-valid dense maps
+        pc = compact_pc(tuple(maps), dIs, self._pc_caps)
         fs = w.frames[newest]
         self.tracker_ref = dict(
-            shell=fs.shell, maps=tuple(maps), colors=colors,
+            shell=fs.shell, pc=pc,
             aff=fs.aff_g2l(), aff_last=fs.aff_g2l(), exposure=fs.ab_exposure,
         )
         # depth-image pane (reference pushDepthImage, drawn from the

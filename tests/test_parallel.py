@@ -34,7 +34,8 @@ def test_multiseq_tracks_batch_of_sequences():
            for b in range(B)]
     ref_img, ref_id = scene.render(SE3())
     ref_dIs, _ = build_pyramid(jnp.asarray(ref_img), calib.levels)
-    maps_b, colors_b, new_b = [], [], []
+    from nalo_slam_tpu.frontend.tracker import compact_pc
+    maps, new_b = [], []
     for lvl in range(calib.levels):
         h, w = calib.h[lvl], calib.w[lvl]
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -42,11 +43,11 @@ def test_multiseq_tracks_batch_of_sequences():
         idl = ref_id
         for _ in range(lvl):
             idl = 0.25 * (idl[0::2, 0::2] + idl[0::2, 1::2] + idl[1::2, 0::2] + idl[1::2, 1::2])
-        maps_b.append((
-            jnp.broadcast_to(jnp.asarray(idl), (B,) + idl.shape),
-            jnp.broadcast_to(jnp.asarray(valid), (B,) + valid.shape),
-        ))
-        colors_b.append(jnp.broadcast_to(ref_dIs[lvl][..., 0], (B,) + ref_dIs[lvl].shape[:2]))
+        maps.append((jnp.asarray(idl.astype(np.float32)), jnp.asarray(valid)))
+    caps = tuple(h * w for h, w in shapes)   # dense GT maps: full caps
+    pc = compact_pc(tuple(maps), ref_dIs, caps)
+    pc_b = tuple(tuple(jnp.broadcast_to(x, (B,) + x.shape) for x in lvl)
+                 for lvl in pc)
 
     new_imgs = [scene.render(g)[0] for g in gts]
     new_pyrs = [build_pyramid(jnp.asarray(im), calib.levels)[0] for im in new_imgs]
@@ -60,7 +61,7 @@ def test_multiseq_tracks_batch_of_sequences():
     raff = jnp.zeros((B, 2), jnp.float32)
 
     R, t, ab, res, flow, ok = tracker.track(
-        R0, t0, ab0, tuple(maps_b), tuple(colors_b), tuple(new_b), exps, raff
+        R0, t0, ab0, pc_b, tuple(new_b), exps, raff
     )
     res = np.asarray(res)
     assert res.shape == (B, calib.levels)

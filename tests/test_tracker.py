@@ -9,7 +9,8 @@ pytestmark = pytest.mark.axon
 from nalo_slam_tpu.config import Settings
 from nalo_slam_tpu.geometry import SE3
 from nalo_slam_tpu.ops import build_pyramid
-from nalo_slam_tpu.frontend.tracker import make_track_fn, make_coarse_depth_maps
+from nalo_slam_tpu.frontend.tracker import (make_track_fn,
+    make_coarse_depth_maps, compact_pc, pc_caps_for)
 from nalo_slam_tpu.utils.synthetic import PlaneScene, default_calib
 
 
@@ -30,12 +31,16 @@ def _setup_pair(ref_pose, new_pose, calib=None):
             idl = 0.25 * (idl[0::2, 0::2] + idl[0::2, 1::2] + idl[1::2, 0::2] + idl[1::2, 1::2])
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         valid = (xx >= 2) & (xx < w - 2) & (yy >= 2) & (yy < h - 2)
-        ref_maps.append((jnp.asarray(idl), jnp.asarray(valid)))
+        ref_maps.append((jnp.asarray(idl.astype(np.float32)), jnp.asarray(valid)))
         ref_colors.append(ref_dIs[lvl][..., 0])
-    return calib, ref_maps, ref_colors, new_dIs
+    shapes = tuple((calib.h[l], calib.w[l]) for l in range(calib.levels))
+    # caps sized for the dense GT maps (every interior pixel valid)
+    caps = tuple(h * w for h, w in shapes)
+    ref_pc = compact_pc(tuple(ref_maps), ref_dIs, caps)
+    return calib, ref_pc, new_dIs
 
 
-def _track(calib, ref_maps, ref_colors, new_dIs, R0, t0):
+def _track(calib, ref_pc, new_dIs, R0, t0):
     s = Settings()
     shapes = tuple((calib.h[l], calib.w[l]) for l in range(calib.levels))
     Ks = tuple(
@@ -47,8 +52,7 @@ def _track(calib, ref_maps, ref_colors, new_dIs, R0, t0):
         jnp.asarray(R0, jnp.float32),
         jnp.asarray(t0, jnp.float32),
         jnp.zeros(2, jnp.float32),
-        tuple(ref_maps),
-        tuple(ref_colors),
+        ref_pc,
         tuple(new_dIs),
         jnp.array([1.0, 1.0], jnp.float32),
         jnp.zeros(2, jnp.float32),
@@ -58,8 +62,8 @@ def _track(calib, ref_maps, ref_colors, new_dIs, R0, t0):
 class TestCoarseTracker:
     def test_identity_stays(self):
         pose = SE3()
-        calib, rm, rc, nd = _setup_pair(pose, pose)
-        R, t, ab, res, flow, ok = _track(calib, rm, rc, nd, np.eye(3), np.zeros(3))
+        calib, pc, nd = _setup_pair(pose, pose)
+        R, t, ab, res, flow, ok = _track(calib, pc, nd, np.eye(3), np.zeros(3))
         assert bool(ok)
         assert float(res[0]) < 0.5
         np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-3)
@@ -67,8 +71,8 @@ class TestCoarseTracker:
     def test_recovers_translation(self):
         ref = SE3()
         gt_new = SE3.exp([0.06, -0.03, 0.04, 0, 0, 0])  # camToWorld
-        calib, rm, rc, nd = _setup_pair(ref, gt_new)
-        R, t, ab, res, flow, ok = _track(calib, rm, rc, nd, np.eye(3), np.zeros(3))
+        calib, pc, nd = _setup_pair(ref, gt_new)
+        R, t, ab, res, flow, ok = _track(calib, pc, nd, np.eye(3), np.zeros(3))
         ref_to_new = gt_new.inverse() * ref
         assert bool(ok)
         assert float(res[0]) < 1.0, f"final rmse {res}"
@@ -77,8 +81,8 @@ class TestCoarseTracker:
     def test_recovers_rotation_translation(self):
         ref = SE3()
         gt_new = SE3.exp([0.04, 0.02, -0.02, 0.01, -0.015, 0.008])
-        calib, rm, rc, nd = _setup_pair(ref, gt_new)
-        R, t, ab, res, flow, ok = _track(calib, rm, rc, nd, np.eye(3), np.zeros(3))
+        calib, pc, nd = _setup_pair(ref, gt_new)
+        R, t, ab, res, flow, ok = _track(calib, pc, nd, np.eye(3), np.zeros(3))
         ref_to_new = gt_new.inverse() * ref
         assert bool(ok)
         assert float(res[0]) < 1.0, f"final rmse {res}"
@@ -88,7 +92,7 @@ class TestCoarseTracker:
     def test_batched_hypotheses(self):
         ref = SE3()
         gt_new = SE3.exp([0.05, 0.0, 0.02, 0.0, 0.01, 0.0])
-        calib, rm, rc, nd = _setup_pair(ref, gt_new)
+        calib, pc, nd = _setup_pair(ref, gt_new)
         s = Settings()
         shapes = tuple((calib.h[l], calib.w[l]) for l in range(calib.levels))
         Ks = tuple(
@@ -97,14 +101,14 @@ class TestCoarseTracker:
         )
         track = make_track_fn(shapes, Ks, s, affine_mode=0)
         batched = jax.jit(
-            jax.vmap(track, in_axes=(0, 0, 0, None, None, None, None, None))
+            jax.vmap(track, in_axes=(0, 0, 0, None, None, None, None))
         )
         n_hyp = 4
         R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n_hyp, 3, 3))
         t0 = jnp.zeros((n_hyp, 3), jnp.float32)
         ab0 = jnp.zeros((n_hyp, 2), jnp.float32)
         R, t, ab, res, flow, ok = batched(
-            R0, t0, ab0, tuple(rm), tuple(rc), tuple(nd),
+            R0, t0, ab0, pc, tuple(nd),
             jnp.array([1.0, 1.0], jnp.float32), jnp.zeros(2, jnp.float32),
         )
         assert res.shape == (n_hyp, calib.levels)
