@@ -282,17 +282,23 @@ def accumulate_top(J, res_approx, active, p_host, F: int):
     acc_pf = jnp.einsum("pfki,pfkj->pfij", rows, rows, precision="highest")
     acc_pf = acc_pf * m[..., None, None]
 
-    # Pair reduction as a one-hot MXU matmul, NOT a scatter-add: XLA's
-    # TPU scatter into (F*F, 13, 13) costs ~17 ms per GN iteration at
-    # preset-0, and a (..., 13, 13)-minor layout pads every block to an
-    # (8, 128) tile (12x memory waste).  Flattening the blocks to a
-    # 169-minor and contracting with the (P*F, F*F) pair one-hot reads
-    # the blocks once at near-peak bandwidth and reduces on the MXU.
+    # Pair reduction as a segment_sum over 169-MINOR flattened blocks: a
+    # scatter into a (..., 13, 13)-minor layout pads every block to an
+    # (8, 128) tile (12x memory waste, ~17 ms/GN-iteration at preset-0);
+    # the 169-minor target is lane-aligned and measurably FASTER than the
+    # padded form (6-iter GN 205 vs 226 ms on v5e at P=16384).
+    #
+    # Do NOT replace this with a one-hot MXU matmul
+    # (einsum("pn,pe->ne", one_hot(pair), acc_pf)): standalone that
+    # contraction honors precision="highest", but fused inside the GN
+    # while_loop XLA merges it with the producer and the reduction runs at
+    # ~bf16 precision -- a 0.5%% Hessian error that compounds over GN
+    # iterations (window RMSE 3.30 -> 15.35 on a 350-frame affine-drift
+    # sequence, tripping the reference's initFailed thresholds).  It also
+    # measured SLOWER in-program (263 ms) than either scatter form.
     pair = _pair_ids(p_host, F).reshape(-1)
-    pair_oh = jax.nn.one_hot(pair, F * F, dtype=jnp.float32)
-    acc = jnp.einsum(
-        "pn,pe->ne", pair_oh, acc_pf.reshape(-1, 13 * 13),
-        precision="highest",
+    acc = jax.ops.segment_sum(
+        acc_pf.reshape(-1, 13 * 13), pair, num_segments=F * F
     ).reshape(F * F, 13, 13)
     nres = jnp.sum(active)
 
