@@ -836,3 +836,63 @@ def make_device_optimizer_fused(settings, F: int, P: int):
     optimize.flat = optimize_flat
     _FUSED_CACHE[key] = (settings, optimize)
     return optimize
+
+
+_COMPACT_CACHE: dict = {}
+
+
+def make_device_optimizer_compact(settings, F: int, P: int, P_eff: int):
+    """Active-slot compaction wrapper around the fused GN program.
+
+    Only 20-40% of the P point slots are live in a steady-state window
+    (the rest are dead pads or dropped points), yet every per-point op --
+    the linearize gather, the 13x13 pair accumulation, the Schur pass --
+    pays full P.  The host picks a power-of-two bucket P_eff >= n_live,
+    pushes the per-point dynamics ALREADY COMPACTED plus the live-slot
+    index list, and this wrapper:
+
+      gather   jstore / static store / r_energy rows at idx (device side,
+               ~50 MB of HBM traffic -- microseconds),
+      run      the ENTIRE fused GN program at P_eff instead of P,
+      scatter  the updated jstore / r_energy / center projections back
+               into the full-P canonical stores (idx pads of value P are
+               dropped by the scatter mode).
+
+    The compacted pull (out["flat"]) shrinks by the same factor; the host
+    scatters it back with the live index (energy._wo_gn_adopt).  Exactness:
+    every excluded slot has no existing residuals and is inactive, so in
+    the full program it contributes nothing and its only state change is
+    idepth_hessian <- 0 (ngood == 0), which the host applies after adopt.
+    Parity with the full-P program is pinned by
+    tests/test_device_opt.py::test_compact_matches_full."""
+    key = (id(settings), F, P, P_eff)
+    hit = _COMPACT_CACHE.get(key)
+    if hit is not None and hit[0] is settings:
+        return hit[1]
+    inner = make_device_optimizer_fused(settings, F, P_eff)
+
+    @jax.jit
+    def run(images, jstore_full, flat_in, flat_u8, idx, pts_static_full,
+            r_energy_full, max_iters, newest):
+        def take(a):
+            return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+
+        pts_static = {k: take(v) for k, v in pts_static_full.items()}
+        jstore = {k: take(v) for k, v in jstore_full.items()}
+        r_energy = take(r_energy_full)
+        pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
+            flat_in, flat_u8, pts_static, r_energy, F, P_eff)
+        out = inner(images, pts, res, jstore, states0, calib0, f_eth0,
+                    inp, max_iters, newest)
+        jstore2 = {k: jstore_full[k].at[idx].set(out["jstore"][k], mode="drop")
+                   for k in jstore_full}
+        r_energy2 = r_energy_full.at[idx].set(out["res"]["energy"],
+                                              mode="drop")
+        cn = out["center_newest"]
+        center = jnp.zeros((P,) + cn.shape[1:], cn.dtype).at[idx].set(
+            cn, mode="drop")
+        return dict(flat=out["flat"], jstore=jstore2,
+                    r_energy=r_energy2, center_newest=center)
+
+    _COMPACT_CACHE[key] = (settings, run)
+    return run

@@ -937,15 +937,42 @@ def _wo_device_inputs(self):
     return {k: jnp.asarray(v) for k, v in _wo_host_inputs(self).items()}
 
 
-def _wo_gn_flat(self, states0, f_eth0):
+def _wo_gn_flat(self, states0, f_eth0, live_rows=None, P_eff=None):
     """Build the dynamic f32 push + packed-u8 push for the fused GN
     program (device_opt.gn_flat_layout / gn_u8_layout).  The static
     per-point data travels separately via the device-resident store
-    (_wo_pts_static)."""
+    (_wo_pts_static).
+
+    With live_rows/P_eff the per-point fields travel COMPACTED: only the
+    live slots' rows, padded to the P_eff bucket (the device program
+    gathers the device-resident stores with the same index list)."""
     p = self.pts
     hi = _wo_host_inputs(self)
-    parts = [
-        p.idepth, p.idepth_zero, p.prior, p.idepth_hessian,
+    if live_rows is None:
+        per_pt = [p.idepth, p.idepth_zero, p.prior, p.idepth_hessian]
+        u8 = D.pack_res_u8(p, self.F, self.P)
+    else:
+        n_live = len(live_rows)
+
+        def cpt(a):
+            out = np.zeros((P_eff,) + a.shape[1:], a.dtype)
+            out[:n_live] = a[live_rows]
+            return out
+
+        per_pt = [cpt(p.idepth), cpt(p.idepth_zero), cpt(p.prior),
+                  cpt(p.idepth_hessian)]
+        bits = (
+            p.r_exists.astype(np.uint8)
+            + (p.r_state.astype(np.uint8) << 1)
+            + (p.r_active.astype(np.uint8) << 3)
+            + (p.r_linearized.astype(np.uint8) << 4)
+        )
+        u8 = np.concatenate([
+            cpt(bits).reshape(-1),
+            cpt(p.active.astype(np.uint8)),
+            cpt(p.host.astype(np.uint8)),
+        ])
+    parts = per_pt + [
         states0, np.asarray(self.calib_value, np.float32), f_eth0,
         hi["evalR"], hi["evalt"], hi["state_zero"], hi["exposures"],
         hi["aff0_b"], hi["frame_prior"], hi["frame_valid"],
@@ -954,7 +981,7 @@ def _wo_gn_flat(self, states0, f_eth0):
         hi["calib_value"], hi["calib_zero"], hi["c_prior"],
     ]
     flat = np.concatenate([np.asarray(a, np.float32).ravel() for a in parts])
-    return flat, D.pack_res_u8(p, self.F, self.P)
+    return flat, u8
 
 
 _PTS_SCATTER_CHUNK = 2048
@@ -1027,7 +1054,19 @@ def _wo_pack_res(self):
     )
 
 
-def _wo_gn_prepare(self, max_iters: int):
+GN_BUCKET_FLOOR = 2048  # smallest compaction bucket (tests shrink it)
+
+
+def _wo_gn_bucket(self, n_live: int) -> int:
+    """Smallest power-of-two compaction bucket >= n_live (floored;
+    the full P disables compaction)."""
+    b = self.P
+    while b // 2 >= max(n_live, 1) and b // 2 >= GN_BUCKET_FLOOR:
+        b //= 2
+    return b
+
+
+def _wo_gn_prepare(self, max_iters: int, bucket: int | None = None):
     # the device GN skips the L-system accumulation on the strength of
     # this invariant (see device_opt.solve_iteration)
     assert not self.pts.r_linearized.any(), (
@@ -1055,28 +1094,52 @@ def _wo_gn_prepare(self, max_iters: int):
     r_energy = getattr(self, "_r_energy_dev", None)
     if r_energy is None:
         r_energy = jnp.asarray(self.pts.r_energy)
-    flat, flat_u8 = _wo_gn_flat(self, states0, f_eth0)
-    return flat, flat_u8, _wo_pts_static(self), r_energy, dict(
-        active_pre=active_pre, newest=newest, max_iters=max_iters)
+    # active-slot compaction (device_opt.make_device_optimizer_compact):
+    # every per-point op in the GN program scales with the slot count, and
+    # only the slots with residuals (or an active flag) participate
+    live = self.pts.r_exists.any(1) | self.pts.active
+    rows = np.nonzero(live)[0].astype(np.int64)
+    P_eff = bucket if bucket is not None else _wo_gn_bucket(self, len(rows))
+    if P_eff >= self.P:
+        P_eff = self.P
+        idx = None
+        flat, flat_u8 = _wo_gn_flat(self, states0, f_eth0)
+    else:
+        idx = np.full(P_eff, self.P, np.int32)
+        idx[: len(rows)] = rows
+        flat, flat_u8 = _wo_gn_flat(self, states0, f_eth0, rows, P_eff)
+    return flat, flat_u8, idx, _wo_pts_static(self), r_energy, dict(
+        active_pre=active_pre, newest=newest, max_iters=max_iters,
+        live_rows=rows, P_eff=P_eff)
 
 
 def _wo_optimize_device(self, max_iters: int) -> float:
     """optimize() + final relinearization as ONE device program."""
     if self.n_frames < 2:
         return 0.0
-    flat_in, flat_u8, pts_static, r_energy, meta = _wo_gn_prepare(self, max_iters)
+    flat_in, flat_u8, idx, pts_static, r_energy, meta = _wo_gn_prepare(
+        self, max_iters)
     # ONE dynamic f32 push + one packed u8 push (statics live on device);
     # r_energy stays device-resident between KFs
-    out = self._dev_opt.flat(
-        self.images, self.jstore, jnp.asarray(flat_in), jnp.asarray(flat_u8),
-        pts_static, r_energy,
-        jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
-    )
+    if idx is None:
+        out = self._dev_opt.flat(
+            self.images, self.jstore, jnp.asarray(flat_in),
+            jnp.asarray(flat_u8), pts_static, r_energy,
+            jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+        )
+        jst, ren, cen = out["jstore"], out["res"]["energy"], out["center_newest"]
+    else:
+        fn = D.make_device_optimizer_compact(self.s, self.F, self.P,
+                                             meta["P_eff"])
+        out = fn(
+            self.images, self.jstore, jnp.asarray(flat_in),
+            jnp.asarray(flat_u8), jnp.asarray(idx), pts_static, r_energy,
+            jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+        )
+        jst, ren, cen = out["jstore"], out["r_energy"], out["center_newest"]
     # sync with ONE flat pull (every extra D2H pull costs a ~30 ms tunnel
     # round trip): [small | newR | newt | pts_pack | res_bits]
-    return _wo_gn_adopt(self, np.asarray(out["flat"]),
-                        out["jstore"], out["res"]["energy"],
-                        out["center_newest"], meta)
+    return _wo_gn_adopt(self, np.asarray(out["flat"]), jst, ren, cen, meta)
 
 
 def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):
@@ -1090,14 +1153,32 @@ def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):
     active_pre = meta["active_pre"]
     self.jstore = jstore_dev
     F, P = self.F, self.P
+    Pe = meta.get("P_eff", P)
     n_small = 6 + F + 10 * F
     small_np = flat[:n_small].astype(np.float64)
     o = n_small
     newR = flat[o:o + 9].astype(np.float64).reshape(3, 3); o += 9
     newt = flat[o:o + 3].astype(np.float64); o += 3
-    pts_pack = flat[o:o + P * 3].reshape(P, 3); o += P * 3
-    bits = (flat[o:o + P * F // 4].view(np.uint8)
-            .reshape(P, F).astype(np.int32))
+    pts_pack = flat[o:o + Pe * 3].reshape(Pe, 3); o += Pe * 3
+    bits = (flat[o:o + Pe * F // 4].view(np.uint8)
+            .reshape(Pe, F).astype(np.int32))
+    if Pe < P:
+        # compacted pull: scatter the live rows back into the full-P host
+        # arrays.  Excluded slots have no residuals and are inactive, so
+        # the full program would leave them untouched except
+        # idepth_hessian <- 0 (ngood == 0 in solve_iteration).
+        rows = meta["live_rows"]
+        n_live = len(rows)
+        pp = np.zeros((P, 3), np.float32)
+        pp[rows] = pts_pack[:n_live]
+        pts_pack_full = pp
+        bits_full = np.zeros((P, F), np.int32)
+        bits_full[rows] = bits[:n_live]
+        excl = np.ones(P, bool)
+        excl[rows] = False
+    else:
+        pts_pack_full, bits_full, excl, rows = pts_pack, bits, None, None
+    pts_pack, bits = pts_pack_full, bits_full
 
     self.last_energy = float(small_np[0])
     self.res_in_a = max(int(small_np[1]), 1)
@@ -1118,13 +1199,26 @@ def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):
     self.set_adjoints()
 
     p = self.pts
-    p.idepth = pts_pack[:, 0].astype(np.float32)
-    p.idepth_zero = pts_pack[:, 1].astype(np.float32)
-    p.idepth_hessian = pts_pack[:, 2].astype(np.float32)
-    p.r_exists = (bits & 1).astype(bool)
-    p.r_state = ((bits >> 1) & 3).astype(np.int8)
-    p.r_active = ((bits >> 3) & 1).astype(bool)
-    p.r_linearized = ((bits >> 4) & 1).astype(bool)
+    if excl is None:
+        p.idepth = pts_pack[:, 0].astype(np.float32)
+        p.idepth_zero = pts_pack[:, 1].astype(np.float32)
+        p.idepth_hessian = pts_pack[:, 2].astype(np.float32)
+        p.r_exists = (bits & 1).astype(bool)
+        p.r_state = ((bits >> 1) & 3).astype(np.int8)
+        p.r_active = ((bits >> 3) & 1).astype(bool)
+        p.r_linearized = ((bits >> 4) & 1).astype(bool)
+    else:
+        # compacted: excluded slots keep their host values (the full
+        # program leaves them unchanged), except idepth_hessian which the
+        # full program zeroes for every ngood == 0 slot
+        p.idepth[rows] = pts_pack[rows, 0].astype(np.float32)
+        p.idepth_zero[rows] = pts_pack[rows, 1].astype(np.float32)
+        p.idepth_hessian[rows] = pts_pack[rows, 2].astype(np.float32)
+        p.idepth_hessian[excl] = 0.0
+        p.r_exists[rows] = (bits[rows] & 1).astype(bool)
+        p.r_state[rows] = ((bits[rows] >> 1) & 3).astype(np.int8)
+        p.r_active[rows] = ((bits[rows] >> 3) & 1).astype(bool)
+        p.r_linearized[rows] = ((bits[rows] >> 4) & 1).astype(bool)
     # fix-time bookkeeping (reference FullSystemOptimize.cpp:58-80,172-181):
     # lastResiduals state recording from the pre-drop state, and
     # numGoodResiduals for new residuals that came out IN
@@ -1177,6 +1271,21 @@ def _wo_precompile(self):
         _wo_pts_static(self),
         jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0),
     )
+    # warm every compaction bucket the run can pick (each is its own
+    # compiled program; a cold one landing mid-run costs seconds)
+    outs_c = []
+    b = P // 2
+    rows0 = np.zeros(0, np.int64)
+    while b >= GN_BUCKET_FLOOR:
+        flc, u8c = _wo_gn_flat(self, np.zeros((F, 10), np.float32),
+                               np.zeros(F, np.float32), rows0, b)
+        fn = D.make_device_optimizer_compact(self.s, F, P, b)
+        outs_c.append(fn(
+            self.images, self.jstore, jnp.asarray(flc), jnp.asarray(u8c),
+            jnp.full(b, P, jnp.int32), _wo_pts_static(self),
+            jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0),
+        ))
+        b //= 2
     # warm the (single) static-store scatter shape
     B = _PTS_SCATTER_CHUNK
     D.scatter_pts_static(
@@ -1195,7 +1304,7 @@ def _wo_precompile(self):
     perm = jnp.asarray(list(range(F)))
     js, im = _permute_stores(self.jstore, self.images, perm)
     re_ = _permute_cols(jnp.zeros((P, F), f32), perm)
-    jax.block_until_ready((out, marg, js, im, re_, ins))
+    jax.block_until_ready((out, outs_c, marg, js, im, re_, ins))
 
 
 WindowOptimizer.precompile = _wo_precompile

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..backend import device_opt as _D
+from ..backend.energy import _wo_gn_bucket
 from ..frontend import immature as imm
 from ..frontend.tracker import make_track_fn
 from ..system.full_system import RETRACK_PENDING
@@ -350,30 +352,54 @@ class MultiSeqSystem:
                 s._kf_post(ctx, s.window.optimize_device(s.s.max_opt_iterations)
                            if s.window.n_frames >= 2 else 0.0)
             return
-        preps = [w.gn_prepare(s.s.max_opt_iterations)
+        # shared compaction bucket: the batch is ONE compiled program, so
+        # every window must use the same P_eff (the max of their choices)
+        bucket = max(_wo_gn_bucket(
+            w, int((w.pts.r_exists.any(1) | w.pts.active).sum()))
+            for w in wins)
+        preps = [w.gn_prepare(s.s.max_opt_iterations, bucket=bucket)
                  for (s, _), w in zip(jobs, wins)]
-        opt = wins[0]._dev_opt
         n = len(jobs)
         rows = list(range(n)) + [0] * (self.B - n)   # pad to fixed B
-        out = _batched_gn(opt)(
-            jnp.stack([wins[r].images for r in rows]),
-            {k: jnp.stack([wins[r].jstore[k] for r in rows])
-             for k in wins[0].jstore},
-            jnp.stack([jnp.asarray(preps[r][0]) for r in rows]),
-            jnp.stack([jnp.asarray(preps[r][1]) for r in rows]),
-            {k: jnp.stack([preps[r][2][k] for r in rows])
-             for k in preps[0][2]},
-            jnp.stack([preps[r][3] for r in rows]),
-            jnp.asarray([preps[r][4]["max_iters"] for r in rows], jnp.int32),
-            jnp.asarray([preps[r][4]["newest"] for r in rows], jnp.int32),
-        )
+        if bucket >= wins[0].P:
+            opt = wins[0]._dev_opt
+            out = _batched_gn(opt)(
+                jnp.stack([wins[r].images for r in rows]),
+                {k: jnp.stack([wins[r].jstore[k] for r in rows])
+                 for k in wins[0].jstore},
+                jnp.stack([jnp.asarray(preps[r][0]) for r in rows]),
+                jnp.stack([jnp.asarray(preps[r][1]) for r in rows]),
+                {k: jnp.stack([preps[r][3][k] for r in rows])
+                 for k in preps[0][3]},
+                jnp.stack([preps[r][4] for r in rows]),
+                jnp.asarray([preps[r][5]["max_iters"] for r in rows], jnp.int32),
+                jnp.asarray([preps[r][5]["newest"] for r in rows], jnp.int32),
+            )
+            energies = out["res"]["energy"]
+        else:
+            w0 = wins[0]
+            opt = _D.make_device_optimizer_compact(w0.s, w0.F, w0.P, bucket)
+            out = _batched_gn(opt)(
+                jnp.stack([wins[r].images for r in rows]),
+                {k: jnp.stack([wins[r].jstore[k] for r in rows])
+                 for k in wins[0].jstore},
+                jnp.stack([jnp.asarray(preps[r][0]) for r in rows]),
+                jnp.stack([jnp.asarray(preps[r][1]) for r in rows]),
+                jnp.stack([jnp.asarray(preps[r][2]) for r in rows]),
+                {k: jnp.stack([preps[r][3][k] for r in rows])
+                 for k in preps[0][3]},
+                jnp.stack([preps[r][4] for r in rows]),
+                jnp.asarray([preps[r][5]["max_iters"] for r in rows], jnp.int32),
+                jnp.asarray([preps[r][5]["newest"] for r in rows], jnp.int32),
+            )
+            energies = out["r_energy"]
         # raw f32: the res_bits tail is bitcast-packed (see _wo_gn_adopt)
         flat_np = np.asarray(out["flat"])
         for i, ((s, f), w, prep, ctx) in enumerate(
                 zip(jobs, wins, preps, ctxs)):
-            meta = prep[4]
+            meta = prep[5]
             jst = {k: out["jstore"][k][i] for k in out["jstore"]}
-            rmse = w.gn_adopt(flat_np[i], jst, out["res"]["energy"][i],
+            rmse = w.gn_adopt(flat_np[i], jst, energies[i],
                               out["center_newest"][i], meta)
             s._kf_post(ctx, rmse)
 
@@ -382,8 +408,13 @@ _BGN_CACHE: dict = {}
 
 
 def _batched_gn(opt):
+    """vmap the fused GN over the batch; `opt` is either the full-P
+    program (call via .flat, 8 args) or a compact wrapper (callable, 9
+    args incl. the live-slot index push)."""
     fn = _BGN_CACHE.get(id(opt))
     if fn is None:
-        fn = jax.vmap(opt.flat, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        base = getattr(opt, "flat", opt)
+        n_args = 8 if hasattr(opt, "flat") else 9
+        fn = jax.vmap(base, in_axes=(0,) * n_args)
         _BGN_CACHE[id(opt)] = fn
     return fn

@@ -45,3 +45,53 @@ def test_device_then_marginalize():
     assert opt.n_frames == 2
     r = opt.optimize_device(3)
     assert np.isfinite(r)
+
+
+def test_compact_matches_full(monkeypatch):
+    """Active-slot compaction (device_opt.make_device_optimizer_compact)
+    must be bit-identical in effect to the full-P program: same poses,
+    idepths, residual flags, and the excluded slots' idepth_hessian
+    zeroed exactly as the full program's ngood==0 branch does."""
+    from nalo_slam_tpu.backend import energy as E
+
+    # P=1024 with ~170 live slots: floor 256 forces a 256-bucket compact
+    monkeypatch.setattr(E, "GN_BUCKET_FLOOR", 256)
+    opt_f, _, _, _ = build_window(n_frames=3, pose_perturb=4e-3,
+                                  idepth_perturb=0.02)
+    opt_c, _, _, _ = build_window(n_frames=3, pose_perturb=4e-3,
+                                  idepth_perturb=0.02)
+    n_live = int((opt_f.pts.r_exists.any(1) | opt_f.pts.active).sum())
+    assert 0 < n_live < 512, n_live
+    # full-P reference run (bucket pinned to P)
+    monkeypatch.setattr(E, "_wo_gn_bucket", lambda self, n: self.P)
+    rmse_f = opt_f.optimize_device(6)
+    monkeypatch.undo()
+    monkeypatch.setattr(E, "GN_BUCKET_FLOOR", 256)
+    assert E._wo_gn_bucket(opt_c, n_live) < opt_c.P
+    rmse_c = opt_c.optimize_device(6)
+
+    # not bit-identical: f32 reduction trees differ with the padded array
+    # size, and 6 GN iterations amplify the reorder noise slightly
+    assert np.isclose(rmse_f, rmse_c, rtol=5e-3), (rmse_f, rmse_c)
+    for k in range(3):
+        err = (opt_f.frames[k].PRE_worldToCam.inverse()
+               * opt_c.frames[k].PRE_worldToCam).log()
+        assert np.linalg.norm(err) < 1e-4, f"frame {k}: {err}"
+    pf, pc = opt_f.pts, opt_c.pts
+    np.testing.assert_array_equal(pf.r_exists.any(1), pc.r_exists.any(1))
+    assert (pf.r_state == pc.r_state).mean() > 0.99
+    assert (pf.r_active == pc.r_active).mean() > 0.99
+    np.testing.assert_array_equal(pf.r_linearized, pc.r_linearized)
+    live = pf.r_exists.any(1)
+    rel = np.abs(pf.idepth[live] - pc.idepth[live]) / np.maximum(
+        np.abs(pf.idepth[live]), 1e-3)
+    assert np.median(rel) < 1e-4, np.median(rel)
+    # excluded slots: hessian zeroed exactly like the full program
+    np.testing.assert_array_equal(pc.idepth_hessian[~live & ~pc.active], 0.0)
+    np.testing.assert_array_equal(pf.num_good_res, pc.num_good_res)
+    # device-resident outputs agree where slots are live
+    cn_f = np.asarray(opt_f._center_newest_dev)
+    cn_c = np.asarray(opt_c._center_newest_dev)
+    m = pf.active & pf.r_exists[:, opt_f.n_frames - 1] & \
+        pc.active & pc.r_exists[:, opt_c.n_frames - 1]
+    np.testing.assert_allclose(cn_f[m], cn_c[m], rtol=1e-3, atol=1e-2)
