@@ -72,13 +72,23 @@ def test_multiseq_tracks_batch_of_sequences():
 
 
 @pytest.mark.slow
-def test_multiseq_system_end_to_end():
+@pytest.mark.parametrize("compact_gn", [False, True])
+def test_multiseq_system_end_to_end(compact_gn, monkeypatch):
     """8 synthetic sequences tracked end-to-end (windows + BA per sequence,
     hypothesis-0 descent dp-sharded over the 8-device mesh); per-sequence
-    ATE must match the single-sequence quality bound."""
+    ATE must match the single-sequence quality bound.
+
+    compact_gn=True shrinks the GN bucket floor so the batched keyframe
+    path exercises the SHARED-BUCKET active-slot compaction
+    (multiseq._batched_keyframes + device_opt.make_device_optimizer_compact),
+    which full-size runs use but the small test P otherwise never
+    triggers."""
+    from nalo_slam_tpu.backend import energy as E
     from nalo_slam_tpu.parallel import MultiSeqSystem
     from nalo_slam_tpu.utils.evaluate import ate_rmse
 
+    if compact_gn:
+        monkeypatch.setattr(E, "GN_BUCKET_FLOOR", 256)
     B = 8
     n = 14
     calib = default_calib(240, 180, f=200.0)
