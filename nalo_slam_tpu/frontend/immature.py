@@ -48,6 +48,18 @@ def n_steps_for(w_img: int, h_img: int, max_pix_search_frac: float,
     return min(_N_STEPS, int((w_img + h_img) * max_pix_search_frac / stepsize) + 3)
 
 
+def search_bucket_for(n_slots: int) -> int | None:
+    """Static compaction bucket for the epipolar search (trace_points
+    search_bucket): the needs-search set is ~10-30% of the slots in a
+    steady-state window (measured 2.4-9.2k of 32768 at KITTI-class
+    preset-0), so N//4 (power of two, floor 2048) covers the typical load;
+    rare overflow rotates to different slots each call."""
+    b = 2048
+    while b < n_slots // 4:
+        b *= 2
+    return b if b < n_slots else None
+
+
 @jax.jit
 def make_immature_data(dI, u, v):
     """Pattern colors, weights, gradH, energyTH ingredients for new points.
@@ -68,7 +80,8 @@ def make_immature_data(dI, u, v):
 
 @partial(jax.jit, static_argnames=(
     "huber_th", "w_img", "h_img", "n_steps", "stepsize", "gn_iters",
-    "gn_threshold", "slack_interval", "min_improvement", "extra_slack"))
+    "gn_threshold", "slack_interval", "min_improvement", "extra_slack",
+    "search_bucket"))
 def trace_points(
     new_dI,                       # (H, W, 3)
     u, v, color, weights, gradH,  # (N,), (N,8), (N,2,2)
@@ -85,9 +98,27 @@ def trace_points(
     slack_interval: float = 1.5,  # setting_trace_slackInterval
     min_improvement: float = 2.0, # setting_trace_minImprovementFactor
     extra_slack: float = 1.2,     # setting_trace_extraSlackOnTH
+    # search compaction (rebuild optimization, see module docstring)
+    valid=None,                   # (N,) bool slot-live mask (None = all)
+    search_bucket: int | None = None,
+    rot=0,                        # rotation offset for overflow fairness
 ):
     """Vectorized ImmaturePoint::traceOn.  Returns new (idepth_min,
-    idepth_max, status, quality, pixel_interval, last_u, last_v)."""
+    idepth_max, status, quality, pixel_interval, last_u, last_v, touched).
+
+    The reference's traceOn returns EARLY for skipped / OOB / outlier
+    points before touching the image (ImmaturePoint.cpp:145-192), and in
+    a steady-state window only ~10-30%% of the slots reach the discrete
+    search (measured 2.4-9.2k of 32768 at KITTI-class preset-0).  With
+    ``search_bucket`` set, the expensive stages -- the (K, n_steps, 8)
+    line-search gather and the GN refine -- run only for a compacted
+    index set of points that actually need searching; the cheap per-point
+    geometry and the status machine stay dense.  Overflow beyond the
+    bucket keeps the point's state untouched for this frame (touched
+    False -> the caller keeps old values; the rotating ``rot`` offset
+    guarantees no starvation).  This also restores the reference's
+    early-return semantics exactly: skipped/OOB points no longer have
+    their quality perturbed by a degenerate 2-step search."""
     KRKi = host_KRKi[p_host]
     Kt = host_Kt[p_host]
     aff = host_aff[p_host]
@@ -144,82 +175,122 @@ def trace_points(
     ptx = u_min - rand_shift * dxn
     pty = v_min - rand_shift * dyn
 
-    rot = KRKi[:, :2, :2]  # Rplane (:233)
-    rp = jnp.einsum("nij,kj->nki", rot, pat, precision="highest")  # (N,8,2)
+    rotp = KRKi[:, :2, :2]  # Rplane (:233)
+    rp = jnp.einsum("nij,kj->nki", rotp, pat, precision="highest")  # (N,8,2)
 
-    steps = jnp.arange(n_steps, dtype=jnp.float32)
-    sx = ptx[:, None] + steps[None, :] * dxn[:, None]     # (N,100)
-    sy = pty[:, None] + steps[None, :] * dyn[:, None]
-    px = sx[:, :, None] + rp[:, None, :, 0]               # (N,100,8)
-    py = sy[:, :, None] + rp[:, None, :, 1]
+    # the points that actually reach the discrete search (the reference's
+    # early returns: skip, OOB, prior OOB status, bad condition --
+    # ImmaturePoint.cpp:145-230 all return before sampling the image)
+    oob_now = ~min_ok | (~max_ok) | (~scale_ok) | (~dir_finite)
+    valid_m = jnp.ones_like(was_oob) if valid is None else valid
+    needs = valid_m & ~was_oob & ~skip & ~oob_now & ~bad_condition
+
     # quad tables built once, OUTSIDE the GN scan below (a build inside
     # the scan body re-materializes the ~10x tile-padded table per step)
     quad1 = build_quad(new_dI[..., 0])
     quad3 = build_quad(new_dI)
-    hit = interp1q(quad1, h_img, w_img, px, py)
-    finite = jnp.isfinite(hit)
-    res = hit - (aff[:, None, None, 0] * color[:, None, :] + aff[:, None, None, 1])
-    absr = jnp.abs(res)
-    hw = jnp.where(absr < huber_th, 1.0, huber_th / jnp.maximum(absr, 1e-12))
-    e_pat = jnp.where(finite, hw * res * res * (2.0 - hw), 1e5)
-    energies = jnp.sum(e_pat, axis=-1)                    # (N,100)
-    step_valid = steps[None, :] < num_steps[:, None].astype(jnp.float32)
-    energies = jnp.where(step_valid, energies, 1e10)
 
-    best_idx = jnp.argmin(energies, axis=-1)
-    best_energy = jnp.min(energies, axis=-1)
-    best_u = ptx + best_idx.astype(jnp.float32) * dxn
-    best_v = pty + best_idx.astype(jnp.float32) * dyn
+    def run_search(ptx, pty, dxn, dyn, num_steps, rp, aff, color, weights,
+                   quality):
+        steps = jnp.arange(n_steps, dtype=jnp.float32)
+        sx = ptx[:, None] + steps[None, :] * dxn[:, None]     # (K,S)
+        sy = pty[:, None] + steps[None, :] * dyn[:, None]
+        px = sx[:, :, None] + rp[:, None, :, 0]               # (K,S,8)
+        py = sy[:, :, None] + rp[:, None, :, 1]
+        hit = interp1q(quad1, h_img, w_img, px, py)
+        finite = jnp.isfinite(hit)
+        res = hit - (aff[:, None, None, 0] * color[:, None, :]
+                     + aff[:, None, None, 1])
+        absr = jnp.abs(res)
+        hw = jnp.where(absr < huber_th, 1.0, huber_th / jnp.maximum(absr, 1e-12))
+        e_pat = jnp.where(finite, hw * res * res * (2.0 - hw), 1e5)
+        energies = jnp.sum(e_pat, axis=-1)                    # (K,S)
+        step_valid = steps[None, :] < num_steps[:, None].astype(jnp.float32)
+        energies = jnp.where(step_valid, energies, 1e10)
 
-    # second best outside +-2 (setting_minTraceTestRadius)
-    idxs = jnp.arange(n_steps)
-    far = jnp.abs(idxs[None, :] - best_idx[:, None]) > 2
-    second = jnp.min(jnp.where(far, energies, 1e10), axis=-1)
-    new_quality = second / jnp.maximum(best_energy, 1e-12)
-    quality_out = jnp.where(
-        (new_quality < quality) | (num_steps > 10), new_quality, quality
-    )
+        best_idx = jnp.argmin(energies, axis=-1)
+        best_energy = jnp.min(energies, axis=-1)
+        best_u = ptx + best_idx.astype(jnp.float32) * dxn
+        best_v = pty + best_idx.astype(jnp.float32) * dyn
 
-    # GN refinement along the line (:318-380), gn_iters iterations unrolled;
-    # per-point freeze once the step falls under gn_threshold (the loop break)
-    def gn_iter(carry, _):
-        bu, bv, be, step_back, ub, vb, done = carry
-        hx = bu[:, None] + rp[:, :, 0]
-        hy = bv[:, None] + rp[:, :, 1]
-        hc = interp3q(quad3, h_img, w_img, hx, hy)
-        fin = jnp.isfinite(hc[..., 0])
-        r = hc[..., 0] - (aff[:, None, 0] * color + aff[:, None, 1])
-        dres = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]
-        ar = jnp.abs(r)
-        hw_ = jnp.where(ar < huber_th, 1.0, huber_th / jnp.maximum(ar, 1e-12))
-        H = 1.0 + jnp.sum(jnp.where(fin, hw_ * dres * dres, 0.0), -1)
-        b = jnp.sum(jnp.where(fin, hw_ * r * dres, 0.0), -1)
-        en = jnp.sum(
-            jnp.where(fin, weights**2 * hw_ * r * r * (2 - hw_), 1e5), -1
+        # second best outside +-2 (setting_minTraceTestRadius)
+        idxs = jnp.arange(n_steps)
+        far = jnp.abs(idxs[None, :] - best_idx[:, None]) > 2
+        second = jnp.min(jnp.where(far, energies, 1e10), axis=-1)
+        new_quality = second / jnp.maximum(best_energy, 1e-12)
+        quality_out = jnp.where(
+            (new_quality < quality) | (num_steps > 10), new_quality, quality
         )
-        worse = en > be
-        # back-step on worse, GN step on better (:362-392)
-        sb_new = jnp.where(worse, step_back * 0.5, jnp.clip(-b / H, -0.5, 0.5))
-        sb_new = jnp.where(jnp.isfinite(sb_new), sb_new, 0.0)
-        sb_new = jnp.where(done, 0.0, sb_new)
-        # once done, freeze at the current (post-step) position, as the
-        # reference's break does; otherwise accept/back-step as usual
-        ub_n = jnp.where(done, bu, jnp.where(worse, ub, bu))
-        vb_n = jnp.where(done, bv, jnp.where(worse, vb, bv))
-        bu_n = ub_n + sb_new * dxn
-        bv_n = vb_n + sb_new * dyn
-        be_n = jnp.where(done | worse, be, en)
-        done_n = done | (jnp.abs(sb_new) < gn_threshold)
-        return (bu_n, bv_n, be_n, sb_new, ub_n, vb_n, done_n), None
 
-    init = (best_u, best_v, jnp.full_like(best_energy, 1e5),
-            jnp.zeros_like(best_u), best_u, best_v,
-            jnp.zeros_like(best_u, dtype=bool))
-    (best_u, best_v, best_energy, _, _, _, _), _ = jax.lax.scan(
-        gn_iter, init, None, length=max(gn_iters, 1)
-    )
+        # GN refinement along the line (:318-380), gn_iters iterations
+        # unrolled; per-point freeze once the step falls under gn_threshold
+        # (the loop break)
+        def gn_iter(carry, _):
+            bu, bv, be, step_back, ub, vb, done = carry
+            hx = bu[:, None] + rp[:, :, 0]
+            hy = bv[:, None] + rp[:, :, 1]
+            hc = interp3q(quad3, h_img, w_img, hx, hy)
+            fin = jnp.isfinite(hc[..., 0])
+            r = hc[..., 0] - (aff[:, None, 0] * color + aff[:, None, 1])
+            dres = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]
+            ar = jnp.abs(r)
+            hw_ = jnp.where(ar < huber_th, 1.0, huber_th / jnp.maximum(ar, 1e-12))
+            H = 1.0 + jnp.sum(jnp.where(fin, hw_ * dres * dres, 0.0), -1)
+            b = jnp.sum(jnp.where(fin, hw_ * r * dres, 0.0), -1)
+            en = jnp.sum(
+                jnp.where(fin, weights**2 * hw_ * r * r * (2 - hw_), 1e5), -1
+            )
+            worse = en > be
+            # back-step on worse, GN step on better (:362-392)
+            sb_new = jnp.where(worse, step_back * 0.5, jnp.clip(-b / H, -0.5, 0.5))
+            sb_new = jnp.where(jnp.isfinite(sb_new), sb_new, 0.0)
+            sb_new = jnp.where(done, 0.0, sb_new)
+            # once done, freeze at the current (post-step) position, as the
+            # reference's break does; otherwise accept/back-step as usual
+            ub_n = jnp.where(done, bu, jnp.where(worse, ub, bu))
+            vb_n = jnp.where(done, bv, jnp.where(worse, vb, bv))
+            bu_n = ub_n + sb_new * dxn
+            bv_n = vb_n + sb_new * dyn
+            be_n = jnp.where(done | worse, be, en)
+            done_n = done | (jnp.abs(sb_new) < gn_threshold)
+            return (bu_n, bv_n, be_n, sb_new, ub_n, vb_n, done_n), None
 
-    outlier_e = ~(best_energy < energy_th * extra_slack)
+        init = (best_u, best_v, jnp.full_like(best_energy, 1e5),
+                jnp.zeros_like(best_u), best_u, best_v,
+                jnp.zeros_like(best_u, dtype=bool))
+        (best_u, best_v, best_energy, _, _, _, _), _ = jax.lax.scan(
+            gn_iter, init, None, length=max(gn_iters, 1)
+        )
+        return best_u, best_v, best_energy, quality_out
+
+    N = u.shape[0]
+    if search_bucket is not None and search_bucket < N:
+        K = search_bucket
+        # rotation offset -> overflow beyond the bucket hits different
+        # slots each call (no starvation)
+        rolled = jnp.roll(needs, -rot)
+        (ridx,) = jnp.nonzero(rolled, size=K, fill_value=N)
+        idx = jnp.where(ridx < N, (ridx + rot) % N, N)
+
+        def tk(a):
+            return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+
+        bu_c, bv_c, be_c, q_c = run_search(
+            tk(ptx), tk(pty), tk(dxn), tk(dyn), tk(num_steps), tk(rp),
+            tk(aff), tk(color), tk(weights), tk(quality))
+        zf = jnp.zeros(N, bu_c.dtype)
+        best_u = zf.at[idx].set(bu_c, mode="drop")
+        best_v = zf.at[idx].set(bv_c, mode="drop")
+        outlier_e = jnp.zeros(N, bool).at[idx].set(
+            ~(be_c < tk(energy_th) * extra_slack), mode="drop")
+        quality_out = quality.at[idx].set(q_c, mode="drop")
+        searched = jnp.zeros(N, bool).at[idx].set(ridx < N, mode="drop")
+    else:
+        best_u, best_v, best_energy, quality_out = run_search(
+            ptx, pty, dxn, dyn, num_steps, rp, aff, color, weights, quality)
+        outlier_e = ~(best_energy < energy_th * extra_slack)
+        quality_out = jnp.where(needs, quality_out, quality)
+        searched = needs
 
     # new idepth interval from best position +- errorInPixel (:404-434)
     use_x = dxn * dxn > dyn * dyn
@@ -239,7 +310,6 @@ def trace_points(
     interval_bad = ~(jnp.isfinite(lo) & jnp.isfinite(hi)) | (hi < 0)
 
     # ---- combine state machine ----
-    oob_now = ~min_ok | (~max_ok) | (~scale_ok) | (~dir_finite)
     out_state = jnp.full_like(status, IPS_GOOD)
     out_state = jnp.where(interval_bad, IPS_OUTLIER, out_state)
     out_state = jnp.where(outlier_e,
@@ -250,14 +320,20 @@ def trace_points(
     out_state = jnp.where(oob_now, IPS_OOB, out_state)
     out_state = jnp.where(was_oob, IPS_OOB, out_state)
 
-    updated = (out_state == IPS_GOOD)
+    # bucket overflow: the point needed a search but did not get one this
+    # call -- every output must stay untouched (the caller keys on this)
+    touched = searched | ~needs
+    out_state = jnp.where(touched, out_state, status)
+
+    updated = (out_state == IPS_GOOD) & searched
     idepth_min_out = jnp.where(updated, lo, idepth_min)
     idepth_max_out = jnp.where(updated, hi, idepth_max)
     pixel_interval = jnp.where(updated, 2.0 * error_in_pixel,
                                jnp.where(skip | bad_condition, dist, 0.0))
     last_u = jnp.where(updated, best_u, 0.5 * (u_min + u_max))
     last_v = jnp.where(updated, best_v, 0.5 * (v_min + v_max))
-    return idepth_min_out, idepth_max_out, out_state, quality_out, pixel_interval, last_u, last_v
+    return (idepth_min_out, idepth_max_out, out_state, quality_out,
+            pixel_interval, last_u, last_v, touched)
 
 
 def _activate_core(
@@ -449,13 +525,15 @@ def set_valid(static, valid):
 
 @partial(jax.jit, static_argnames=(
     "huber_th", "w_img", "h_img", "F", "M", "n_steps", "stepsize", "gn_iters",
-    "gn_threshold", "slack_interval", "min_improvement", "extra_slack"))
+    "gn_threshold", "slack_interval", "min_improvement", "extra_slack",
+    "search_bucket"))
 def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
                  huber_th: float, w_img: int, h_img: int, F: int, M: int,
                  n_steps: int = _N_STEPS, stepsize: float = 1.0,
                  gn_iters: int = 3, gn_threshold: float = 0.1,
                  slack_interval: float = 1.5, min_improvement: float = 2.0,
-                 extra_slack: float = 1.2):
+                 extra_slack: float = 1.2,
+                 search_bucket: int | None = None, rot=0):
     """One-call traceNewCoarse over the whole device-resident store."""
     hosts = jnp.repeat(jnp.arange(F, dtype=jnp.int32), M)
     res = trace_points(
@@ -467,9 +545,12 @@ def trace_update(static, trace, new_dI, KRKi, Kt, affs, max_pix_search_frac,
         stepsize=stepsize, gn_iters=gn_iters, gn_threshold=gn_threshold,
         slack_interval=slack_interval, min_improvement=min_improvement,
         extra_slack=extra_slack,
+        valid=static["valid"], search_bucket=search_bucket, rot=rot,
     )
-    id_min, id_max, status, quality, interval, _, _ = res
-    v = static["valid"]
+    id_min, id_max, status, quality, interval, _, _, touched = res
+    # untouched = bucket overflow this call: every field keeps its old
+    # value (the point is traced on a later frame; see trace_points)
+    v = static["valid"] & touched
     return dict(
         idepth_min=jnp.where(v, id_min, trace["idepth_min"]),
         idepth_max=jnp.where(v, id_max, trace["idepth_max"]),

@@ -192,6 +192,8 @@ class MultiSeqSystem:
             jnp.stack([jnp.asarray(jobs[r][1][1]) for r in rows]),
             jnp.stack([jnp.asarray(jobs[r][1][2]) for r in rows]),
             jnp.stack([jnp.asarray(jobs[r][1][3]) for r in rows]),
+            jnp.asarray([jobs[r][0]._next_trace_rot() for r in rows],
+                        jnp.int32),
         )
         for i, (s, _) in enumerate(jobs):
             s.imm_trace = {k: out[k][i] for k in out}
@@ -203,13 +205,13 @@ class MultiSeqSystem:
             F, M = f0.window.F, s.max_immature_per_frame
             kw = f0._trace_kwargs()
 
-            def base(st, tr, dI0, KRKi, Kt, affs):
+            def base(st, tr, dI0, KRKi, Kt, affs, rot):
                 return imm.trace_update(
                     st, tr, dI0, KRKi, Kt, affs, s.max_pix_search,
                     huber_th=s.huber_th, w_img=c.w[0], h_img=c.h[0],
-                    F=F, M=M, **kw)
+                    F=F, M=M, rot=rot, **kw)
 
-            fn = self._trace_fn = jax.vmap(base, in_axes=(0,) * 6)
+            fn = self._trace_fn = jax.vmap(base, in_axes=(0,) * 7)
         return fn
 
     # -- batched point activation (one program for coincident keyframes) ---

@@ -809,7 +809,16 @@ class FullSystem:
             slack_interval=s.trace_slack_interval,
             min_improvement=s.trace_min_improvement_factor,
             extra_slack=s.trace_extra_slack_on_th,
+            search_bucket=imm.search_bucket_for(
+                self.window.F * s.max_immature_per_frame),
         )
+
+    def _next_trace_rot(self) -> int:
+        """Rotating offset for the trace search-bucket overflow fairness
+        (a dynamic scalar -- never recompiles)."""
+        N = self.window.F * self.s.max_immature_per_frame
+        self._trace_rot = (getattr(self, "_trace_rot", 0) + 7919) % max(N, 1)
+        return self._trace_rot
 
     def _dispatch_trace(self, args):
         if args is None:
@@ -822,7 +831,8 @@ class FullSystem:
             jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affs),
             self.s.max_pix_search,
             huber_th=self.s.huber_th, w_img=c.w[0], h_img=c.h[0],
-            F=F, M=M, **self._trace_kwargs(),
+            F=F, M=M, rot=jnp.int32(self._next_trace_rot()),
+            **self._trace_kwargs(),
         )
 
     # imm_trace is guarded: reading it while a deferred trace dispatch is
