@@ -715,25 +715,57 @@ def activation_run(static, trace, images,
     # greedy occupancy spacing, candidate (slot) order -- identical to the
     # reference host loop.  Grid padded by 4 on each side so the 9x9
     # chevron patch never clips (center (y,x) -> padded (y+4, x+4)).
+    #
+    # CHUNKED exact formulation: a one-candidate-per-iteration lax loop
+    # costs ~12.5 us/step of fixed TPU loop overhead (~50 ms at C=4096).
+    # The sequential dependency is only through the occupancy grid, and a
+    # later candidate sees an earlier one IFF their Chebyshev distance is
+    # <= 4 with stamp value max(|dy|,|dx|) -- so a chunk of B candidates
+    # can be resolved from (a) the pre-chunk grid centers (one batched
+    # gather) and (b) the in-chunk pairwise Chebyshev matrix (an unrolled
+    # B-step micro-scan over registers), then the grid absorbs all of the
+    # chunk's accepted stamps in ONE scatter-min (order-independent).
+    # Bit-exact to the per-candidate loop (test_activation_greedy).
     chev = jnp.maximum(
         jnp.abs(jnp.arange(9) - 4)[:, None],
         jnp.abs(jnp.arange(9) - 4)[None, :]).astype(jnp.float32)
-
-    def body(k, carry):
-        occ, acc = carry
-        y, x = vi[k], ui[k]
-        ok = pass_d[k] & (occ[y + 4, x + 4] >= need[k])
-        patch = jax.lax.dynamic_slice(occ, (y, x), (9, 9))
-        occ = jax.lax.cond(
-            ok,
-            lambda o: jax.lax.dynamic_update_slice(
-                o, jnp.minimum(patch, chev), (y, x)),
-            lambda o: o, occ)
-        return occ, acc.at[k].set(ok)
+    B = 32
+    assert C % B == 0, "candidate capacity must be a multiple of the chunk"
 
     n_loop = jnp.minimum(n_cand.astype(jnp.int32), C)
     occ0 = jnp.full((h1 + 8, w1 + 8), 1e4, jnp.float32)
-    _, acc = jax.lax.fori_loop(0, n_loop, body, (occ0, jnp.zeros(C, bool)))
+    dy9 = jnp.arange(9, dtype=jnp.int32)
+
+    def chunk_body(c, carry):
+        occ, acc = carry
+        base = c * B
+        y = jax.lax.dynamic_slice(vi, (base,), (B,))
+        x = jax.lax.dynamic_slice(ui, (base,), (B,))
+        needk = jax.lax.dynamic_slice(need, (base,), (B,))
+        passk = (jax.lax.dynamic_slice(pass_d, (base,), (B,))
+                 & (base + jnp.arange(B) < n_loop))
+        g = occ[y + 4, x + 4]
+        ddy = jnp.abs(y[:, None] - y[None, :])
+        ddx = jnp.abs(x[:, None] - x[None, :])
+        pairv = jnp.where((ddy <= 4) & (ddx <= 4),
+                          jnp.maximum(ddy, ddx).astype(jnp.float32),
+                          jnp.inf)  # [j, k]
+        accv = jnp.zeros(B, bool)
+        for k in range(B):  # unrolled micro-scan (register ops only)
+            before = jnp.arange(B) < k
+            blocked = jnp.min(jnp.where(accv & before, pairv[:, k], jnp.inf))
+            okk = passk[k] & (jnp.minimum(g[k], blocked) >= needk[k])
+            accv = accv.at[k].set(okk)
+        stamps = jnp.where(accv[:, None, None], chev[None], 1e4)
+        yy = y[:, None, None] + dy9[None, :, None]
+        xx = x[:, None, None] + dy9[None, None, :]
+        occ = occ.at[yy, xx].min(stamps)
+        acc = jax.lax.dynamic_update_slice(acc, accv, (base,))
+        return occ, acc
+
+    n_chunks = (n_loop + B - 1) // B
+    _, acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                               (occ0, jnp.zeros(C, bool)))
     n_acc = jnp.sum(acc).astype(jnp.float32)
 
     # compact accepted candidates to A slots and gather their static data
