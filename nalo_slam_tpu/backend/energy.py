@@ -23,6 +23,8 @@ units in window.py.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -1117,8 +1119,10 @@ def _wo_optimize_device(self, max_iters: int) -> float:
     """optimize() + final relinearization as ONE device program."""
     if self.n_frames < 2:
         return 0.0
+    t0 = time.perf_counter()
     flat_in, flat_u8, idx, pts_static, r_energy, meta = _wo_gn_prepare(
         self, max_iters)
+    t1 = time.perf_counter()
     # ONE dynamic f32 push + one packed u8 push (statics live on device);
     # r_energy stays device-resident between KFs
     if idx is None:
@@ -1137,9 +1141,19 @@ def _wo_optimize_device(self, max_iters: int) -> float:
             jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
         )
         jst, ren, cen = out["jstore"], out["r_energy"], out["center_newest"]
+    t2 = time.perf_counter()
     # sync with ONE flat pull (every extra D2H pull costs a ~30 ms tunnel
     # round trip): [small | newR | newt | pts_pack | res_bits]
-    return _wo_gn_adopt(self, np.asarray(out["flat"]), jst, ren, cen, meta)
+    flat_np = np.asarray(out["flat"])
+    t3 = time.perf_counter()
+    rmse = _wo_gn_adopt(self, flat_np, jst, ren, cen, meta)
+    stage = getattr(self, "stage_ms", None)
+    if stage is not None:
+        stage["opt_prepare"] = 1000.0 * (t1 - t0)
+        stage["opt_dispatch"] = 1000.0 * (t2 - t1)
+        stage["opt_wait"] = 1000.0 * (t3 - t2)
+        stage["opt_adopt"] = 1000.0 * (time.perf_counter() - t3)
+    return rmse
 
 
 def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):
@@ -1299,6 +1313,13 @@ def _wo_precompile(self):
         jnp.zeros(P, f32), jnp.zeros((F, F, 8, 8), f32),
         jnp.zeros((F, F, 8, 8), f32),
     )
+    # warm the async D2H transfer path too: the FIRST copy_to_host_async
+    # on this runtime costs ~360 ms (lazy transfer-manager setup) and
+    # otherwise lands inside the first real point-marg (KF4-class)
+    try:
+        marg.copy_to_host_async()
+    except AttributeError:
+        pass
     ins = _set_image_slot(self.images, jnp.int32(0),
                           jnp.zeros(self.images.shape[1:], jnp.float32))
     perm = jnp.asarray(list(range(F)))

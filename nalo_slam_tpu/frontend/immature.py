@@ -372,6 +372,11 @@ def _activate_core(
         axis=-1,
     )  # (N, 8, 3)
 
+    # one (f16) quad-tap table per frame, shared by every LM evaluation
+    # (build_quad hoisting + bandwidth notes in ops/interp.py)
+    H_img, W_img = images.shape[1], images.shape[2]
+    images_quad = jax.vmap(build_quad)(images)
+
     def energy_Hb(idepth):
         ptp = (
             jnp.einsum("nfij,nkj->nfki", R, KliP, precision="highest")
@@ -386,8 +391,8 @@ def _activate_core(
             (drescale > 0) & (Ku > 1.1) & (Kv > 1.1)
             & (Ku < w_img - 3) & (Kv < h_img - 3)
         )
-        hit = jax.vmap(lambda im, x, y: interp3(im, x, y),
-                       in_axes=(0, 1, 1), out_axes=1)(images, Ku, Kv)
+        hit = jax.vmap(lambda q, x, y: interp3q(q, H_img, W_img, x, y),
+                       in_axes=(0, 1, 1), out_axes=1)(images_quad, Ku, Kv)
         fin = jnp.isfinite(hit[..., 0])
         res_ok = jnp.all(inb & fin, axis=-1) & tgt_ok     # (N, F)
         r = hit[..., 0] - (affs[..., 0, None] * color[:, None, :] + affs[..., 1, None])

@@ -88,11 +88,15 @@ class PixelSelector:
         vb = valid[: h32 * 32, : w32 * 32].reshape(h32, 32, w32, 32).transpose(0, 2, 1, 3)
         gb = gb.reshape(h32, w32, -1)
         vb = vb.reshape(h32, w32, -1)
-        # histogram: count per value 0..48 -> quantile
-        counts = np.zeros((h32, w32, 50), np.int32)
-        bidx = np.broadcast_to(np.arange(h32)[:, None, None], gb.shape)
-        bjdx = np.broadcast_to(np.arange(w32)[None, :, None], gb.shape)
-        np.add.at(counts, (bidx[vb], bjdx[vb], gb[vb] + 1), 1)
+        # histogram: count per value 0..48 -> quantile.  One bincount over
+        # (block_id * 50 + value) -- np.add.at is ~50x slower here.
+        bid = np.broadcast_to(
+            (np.arange(h32)[:, None] * w32 + np.arange(w32)[None, :])[..., None],
+            gb.shape,
+        )
+        flat = bid[vb] * 50 + (gb[vb] + 1)
+        counts = np.bincount(flat, minlength=h32 * w32 * 50).reshape(
+            h32, w32, 50).astype(np.int32)
         n = vb.sum(-1)
         # first i such that cum(count[g<=i]) > 0.5*n - 0.5  (computeHistQuantil)
         cum = np.cumsum(counts[..., 1:], axis=-1)

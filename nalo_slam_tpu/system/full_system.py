@@ -104,6 +104,37 @@ def _host_selector_pyramid(img: np.ndarray, b_grad: np.ndarray | None):
     return dIs[0], ags
 
 
+class _AsyncHost:
+    """Run a host-side job (the pixel selector) in a worker thread so it
+    overlaps the keyframe's device round trips (activation + window GN).
+    numpy releases the GIL inside its array kernels, so the selector makes
+    real progress while the mapping thread blocks in a device pull."""
+
+    def __init__(self, fn):
+        self._exc = None
+        self._res = None
+        self._th = threading.Thread(target=self._run, args=(fn,), daemon=True)
+        self._th.start()
+
+    def _run(self, fn):
+        try:
+            self._res = fn()
+        except BaseException as e:  # surfaced at get()
+            self._exc = e
+
+    def get(self):
+        self._th.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._res
+
+
+def _nt_result(x):
+    """nt_pre entries are either a raw host-selection tuple or an
+    _AsyncHost handle."""
+    return x.get() if isinstance(x, _AsyncHost) else x
+
+
 def compute_marg_flags(in_pts, out_pts, log_rel_a, frame_ids, dists, s):
     """flagFramesForMarginalization decision rule as a pure function
     (reference FullSystemMarginalize.cpp:58-147).
@@ -890,15 +921,26 @@ class FullSystem:
 
     def _kf_pre(self, frame):
         st = self._kf_stage1(frame)
+        # pixel selection for the new KF's traces is independent of the
+        # window: run it in a worker thread that overlaps the activation
+        # round trip AND the window-GN device wait (~120 ms of numpy at
+        # KITTI-class resolution, fully hidden behind ~250 ms of pulls)
+        nt_pre = [_AsyncHost(lambda: self._new_traces_host(frame))]
         prep = self._activate_prepare_timed()
         if prep is None:
-            return self._kf_finish(st, [self._new_traces_host(frame)])
+            return self._kf_finish(st, nt_pre)
         t0 = time.perf_counter()
         flat_dev, new_valid = self._activate_dispatch(prep)
-        # pixel selection for the new KF's traces is independent of the
-        # window; hide it behind the activation round trip
-        nt_pre = [self._new_traces_host(frame)]
-        self._activate_adopt(prep, np.asarray(flat_dev), new_valid)
+        t1 = time.perf_counter()
+        flat_np = np.asarray(flat_dev)
+        t3 = time.perf_counter()
+        self._activate_adopt(prep, flat_np, new_valid)
+        t4 = time.perf_counter()
+        # sub-stage split (all inside "activate"): dispatch / pull wait /
+        # host adopt (the selector runs concurrently in its thread)
+        self._stage_ms["act_dispatch"] = 1000.0 * (t1 - t0)
+        self._stage_ms["act_wait"] = 1000.0 * (t3 - t1)
+        self._stage_ms["act_adopt"] = 1000.0 * (t4 - t3)
         self._stage_ms["activate"] = (
             self._stage_ms.get("activate", 0.0)
             + 1000.0 * (time.perf_counter() - t0))
@@ -911,6 +953,7 @@ class FullSystem:
         s = self.s
         shell = frame["shell"]
         self._stage_ms = {}
+        self.window.stage_ms = self._stage_ms  # GN sub-stage timers land here
         t_kf0 = time.perf_counter()
         with self.shell_lock:
             if shell.trackingRef is not None:
@@ -1031,7 +1074,8 @@ class FullSystem:
                     sw_gray_optimize(self.window, iters=3)
 
         with self._stage("marg_points"):
-            self._flag_points_for_removal()
+            with self._stage("marg_flag"):
+                self._flag_points_for_removal()
             self.window.nullspaces()
             # archive marginalized points per host KF so they can be published
             # with the final pose when the frame leaves the window (the
@@ -1043,10 +1087,11 @@ class FullSystem:
                     fid = self.window.frames[int(hh)].frame_id
                     arch = self._marg_points.setdefault(fid, [])
                     arch.append(np.stack([p.u[mm], p.v[mm], p.idepth[mm]], 1))
-            self.window.marginalize_points(p.status == 1)
+            with self._stage("marg_dispatch"):
+                self.window.marginalize_points(p.status == 1)
             p.status[:] = 0
         with self._stage("new_traces"):
-            self._make_new_traces(frame, new_idx, host_pre=nt_pre[0])
+            self._make_new_traces(frame, new_idx, host_pre=_nt_result(nt_pre[0]))
 
         # --- dense surfel mapping on the 3rd-newest KF (:1488-1496) ---
         if (self.global_plane.fixed and s.dense_mapping

@@ -71,8 +71,28 @@ def build_window(n_frames=3, pose_perturb=0.0, idepth_perturb=0.0, n_side=14, se
     return opt, gt_c2w, idepths, slots
 
 
+@pytest.fixture
+def exact_taps():
+    """Finite-difference validation needs exact f32 interpolation taps:
+    f16 quad tables (ops/interp.py QUAD_DTYPE notes) quantize the sampled
+    surface, which pushes a numeric-vs-analytic derivative comparison
+    past a tight gate.  The production default is already f32 (the f16
+    experiment regressed long-horizon parity); this fixture pins the test
+    against any future default change.  QUAD_DTYPE is read at trace time,
+    so the jit caches must be cleared around the switch."""
+    import jax
+    from nalo_slam_tpu.ops import interp as I
+
+    old = I.QUAD_DTYPE
+    I.QUAD_DTYPE = jnp.float32
+    jax.clear_caches()
+    yield
+    I.QUAD_DTYPE = old
+    jax.clear_caches()
+
+
 class TestGradient:
-    def test_b_matches_numeric_gradient(self):
+    def test_b_matches_numeric_gradient(self, exact_taps):
         """2*b from the stitched system == dE/dx (validates Jacobians and
         adjoint transport against the actual photometric energy)."""
         opt, gt, _, _ = build_window(n_frames=3, pose_perturb=3e-3, idepth_perturb=0.02)

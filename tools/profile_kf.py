@@ -4,7 +4,7 @@ Runs the same synthetic sequence as bench.py through the sequential
 FullSystem and prints the per-KF stage breakdown (host-blocking ms) that
 FullSystem.metrics collects, plus frame-time statistics.
 
-Usage: python tools/profile_kf.py [n_frames] [pipelined]
+Usage: python tools/profile_kf.py [n_frames] [pipelined|sequential] [kitti]
 """
 
 from __future__ import annotations
@@ -36,22 +36,41 @@ def main():
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     pipelined = len(sys.argv) > 2 and sys.argv[2] == "pipelined"
+    kitti = len(sys.argv) > 3 and sys.argv[3] == "kitti"
 
-    w, h = 320, 240
-    calib = PyramidCalib.make(w, h, 260.0, 260.0, (w - 1) / 2, (h - 1) / 2)
-    scene = PlaneScene(calib, z0=4.0)
-    s = Settings(
-        max_window_frames=8, max_points=2048, max_immature_per_frame=1024,
-        desired_point_density=800.0, desired_immature_density=600.0,
-        use_lidar=False, dense_track=False, plane_optimize=False,
-    )
     rng = np.random.default_rng(7)
-    frames = []
-    for k in range(n_frames):
-        xi = np.array([0.05 * k, 0.008 * np.sin(0.2 * k), 0.01 * k,
-                       0.0, 0.002 * np.sin(0.11 * k), 0.0])
-        img, _ = scene.render(SE3.exp(xi))
-        frames.append(img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
+    if kitti:
+        # the BASELINE north-star workload shape: KITTI-class resolution
+        # at preset-0 densities (bench.py pass 4)
+        from nalo_slam_tpu.config import preset as _preset
+        w, h = 1224, 368
+        calib = PyramidCalib.make(w, h, 707.0, 707.0, (w - 1) / 2, (h - 1) / 2)
+        scene = PlaneScene(calib, z0=6.0)
+        s = _preset(0, Settings()).replace(
+            use_lidar=False, dense_track=False, plane_optimize=False)
+        frames = []
+        for k in range(n_frames):
+            xi = np.array([0.04 * k, 0.01 * np.sin(0.2 * k), 0.03 * k,
+                           0.0, 0.002 * np.sin(0.11 * k), 0.0])
+            img, _ = scene.render(SE3.exp(xi))
+            frames.append(
+                img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
+    else:
+        w, h = 320, 240
+        calib = PyramidCalib.make(w, h, 260.0, 260.0, (w - 1) / 2, (h - 1) / 2)
+        scene = PlaneScene(calib, z0=4.0)
+        s = Settings(
+            max_window_frames=8, max_points=2048, max_immature_per_frame=1024,
+            desired_point_density=800.0, desired_immature_density=600.0,
+            use_lidar=False, dense_track=False, plane_optimize=False,
+        )
+        frames = []
+        for k in range(n_frames):
+            xi = np.array([0.05 * k, 0.008 * np.sin(0.2 * k), 0.01 * k,
+                           0.0, 0.002 * np.sin(0.11 * k), 0.0])
+            img, _ = scene.render(SE3.exp(xi))
+            frames.append(
+                img + rng.normal(scale=1.5, size=img.shape).astype(np.float32))
 
     sys_ = FullSystem(s, calib)
     sys_.precompile()
