@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PATTERN
-from ..ops.interp import build_quad, interp1, interp1q, interp3, interp3q
+from ..ops.interp import (
+    QUAD_FAST_DTYPE, build_quad, interp1, interp1q, interp3, interp3q)
 
 IPS_GOOD = 0
 IPS_OOB = 1
@@ -186,8 +187,13 @@ def trace_points(
     needs = valid_m & ~was_oob & ~skip & ~oob_now & ~bad_condition
 
     # quad tables built once, OUTSIDE the GN scan below (a build inside
-    # the scan body re-materializes the ~10x tile-padded table per step)
-    quad1 = build_quad(new_dI[..., 0])
+    # the scan body re-materializes the ~10x tile-padded table per step).
+    # The discrete search (quad1) is the biggest gather in the system
+    # (K x n_steps x 8 samples) and only picks the argmin starting step
+    # for the f32 GN polish (quad3), so f16 rows are safe there -- the
+    # 350-frame parity harness pins ATE unchanged, and the gather runs
+    # ~3x faster (ops/interp.py QUAD_FAST_DTYPE note).
+    quad1 = build_quad(new_dI[..., 0], dtype=QUAD_FAST_DTYPE)
     quad3 = build_quad(new_dI)
 
     def run_search(ptx, pty, dxn, dyn, num_steps, rp, aff, color, weights,
@@ -289,7 +295,6 @@ def trace_points(
         best_u, best_v, best_energy, quality_out = run_search(
             ptx, pty, dxn, dyn, num_steps, rp, aff, color, weights, quality)
         outlier_e = ~(best_energy < energy_th * extra_slack)
-        quality_out = jnp.where(needs, quality_out, quality)
         searched = needs
 
     # new idepth interval from best position +- errorInPixel (:404-434)

@@ -22,6 +22,7 @@ track||map thread pipeline is layered on top in system/pipeline.py.
 
 from __future__ import annotations
 
+import os
 import time
 from contextlib import contextmanager
 
@@ -840,8 +841,15 @@ class FullSystem:
             slack_interval=s.trace_slack_interval,
             min_improvement=s.trace_min_improvement_factor,
             extra_slack=s.trace_extra_slack_on_th,
-            search_bucket=imm.search_bucket_for(
-                self.window.F * s.max_immature_per_frame),
+            # Search compaction is OPT-IN: the bucket's overflow deferral
+            # (stale intervals under brightness drift -> initFailed resets)
+            # and its faithful-early-return quality semantics both regressed
+            # 350-frame parity ATE (0.21 -> 0.72 m with a reset / 0.21 ->
+            # 0.32 m respectively; docs/ROADMAP.md round-3 post-mortem), so
+            # accuracy keeps the dense search by default.
+            search_bucket=(imm.search_bucket_for(
+                self.window.F * s.max_immature_per_frame)
+                if os.environ.get("NALO_TRACE_BUCKET", "0") == "1" else None),
         )
 
     def _next_trace_rot(self) -> int:
