@@ -67,6 +67,10 @@ def linearize_residuals(
     target_quad=None,     # (F, H*W, 12) prebuilt quad-tap tables; callers
                           # whose linearize sits inside a device loop MUST
                           # pass this (ops.interp.build_quad hoisting note)
+    f_energy_th_target=None,  # per-target-column energy thresholds when the
+                          # target axis is a SLICE of the window (the fused
+                          # GN tail relinearizes only the newest column);
+                          # f_energy_th stays full F for the host-side lookup
 ):
     """Returns a dict of per-(P,F) Jacobian fields, energies and new states."""
     fx, fy, cx, cy = calib[0], calib[1], calib[2], calib[3]
@@ -204,7 +208,8 @@ def linearize_residuals(
     Jab2 = jnp.einsum("pfik,pfjk->pfij", JabF, JabF, precision="highest")
 
     # state machine (reference :262-274)
-    th = jnp.maximum(f_energy_th[p_host][:, None], f_energy_th[None, :])
+    f_eth_t = f_energy_th if f_energy_th_target is None else f_energy_th_target
+    th = jnp.maximum(f_energy_th[p_host][:, None], f_eth_t[None, :])
     is_outlier = (energy > th) | (wJI2_sum < 2.0)
     energy_clamped = jnp.where(is_outlier, th, energy)
 

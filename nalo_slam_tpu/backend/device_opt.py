@@ -711,33 +711,66 @@ def make_device_optimizer_fused(settings, F: int, P: int):
         aff0_b2 = state_zero2[:, 7]
 
         # --- final relinearize + fixLinearization (linearizeAll(true)) ---
+        # COLUMN-RESTRICTED: between the loop's last in-body linearize (at
+        # the final states) and this fix, the only linearization inputs
+        # that changed are the NEWEST frame's evaluation point (the new
+        # linearization point above) and the newest frame's f_eth
+        # (setNewFrameEnergyTH updates only that entry).  Both enter a
+        # residual's linearization exclusively through its TARGET frame --
+        # no point is ever hosted in the just-inserted keyframe (its
+        # immature points don't exist yet during its own makeKeyFrame;
+        # asserted host-side in energy._wo_gn_prepare) -- so only the
+        # target==newest column needs recomputing.  Everything else is
+        # bit-identical to the loop's apply_res output already in
+        # res2/jstore2 (same update rule).  Cuts the tail's gather volume
+        # and quad build by F (e.g. 8x at a full window).
         KRKi, Kt, aff = _precalc_dev(states2, evalR2, evalt2, calib,
                                      inp["exposures"])
+
+        def colj(a, axis=1):
+            return jax.lax.dynamic_slice_in_dim(a, newest, 1, axis=axis)
+
+        img_n = colj(images, axis=0)                      # (1, H, W, 3)
+        quad_n = jax.vmap(_interp.build_quad)(img_n)
         out = K.linearize_residuals(
-            images,
+            img_n,
             pts2["u"], pts2["v"], pts2["idepth"], pts2["idepth_zero"],
             pts2["color"], pts2["weights"], pts2["host"], pts2["energy_th"],
-            res2["exists"], res2["state"],
-            PRE_R0=Rl0, PRE_t0=tl0,
-            PRE_KRKi=KRKi, PRE_Kt=Kt, PRE_aff=aff, PRE_b0=aff0_b2,
+            colj(res2["exists"]), colj(res2["state"]),
+            PRE_R0=colj(Rl0), PRE_t0=colj(tl0),
+            PRE_KRKi=colj(KRKi), PRE_Kt=colj(Kt), PRE_aff=colj(aff),
+            PRE_b0=aff0_b2,
             f_energy_th=f_eth,
             calib=calib,
             outlier_th_sum=s.outlier_th_sum_component,
             huber_th=s.huber_th,
             ab_zero=ab_zero,
+            target_quad=quad_n,
+            f_energy_th_target=jax.lax.dynamic_slice_in_dim(f_eth, newest, 1),
         )
+
+        def merge_col(full, column):
+            return jax.lax.dynamic_update_slice_in_dim(full, column, newest,
+                                                       axis=1)
+
         act = res2["exists"] & ~res2["linearized"]
         upd = act & (res2["state"] != RES_OOB)
-        new_state = jnp.where(upd, out["new_state"], res2["state"])
+        act_c, upd_c = colj(act), colj(upd)
+        new_state_c = jnp.where(upd_c, out["new_state"], colj(res2["state"]))
+        new_state = merge_col(res2["state"], new_state_c)
         new_active = jnp.where(act, new_state == RES_IN, res2["active"])
-        energy = jnp.where(upd, out["energy"], res2["energy"])
+        energy = merge_col(res2["energy"],
+                           jnp.where(upd_c, out["energy"],
+                                     colj(res2["energy"])))
         updj = act & (new_state == RES_IN)
+        updj_c = act_c & (new_state_c == RES_IN)
         jstore3 = {}
         for k2 in ("Jpdxi", "Jpdc", "Jpdd", "JIdx", "JabF", "resF",
                    "JIdx2", "JabJIdx", "Jab2"):
             extra = (1,) * (out[k2].ndim - 2)
-            jstore3[k2] = jnp.where(updj.reshape(updj.shape + extra),
-                                    out[k2], jstore2[k2])
+            col_merged = jnp.where(updj_c.reshape(updj_c.shape + extra),
+                                   out[k2], colj(jstore2[k2]))
+            jstore3[k2] = merge_col(jstore2[k2], col_merged)
 
         d = (states2 - state_zero2)[:, :8]
         dpair = (
@@ -779,9 +812,8 @@ def make_device_optimizer_fused(settings, F: int, P: int):
 
         act_energy = jnp.sum(jnp.where(act, energy, 0.0))
         nres_in = jnp.sum(act & (new_state == RES_IN))
-        center_newest = jax.lax.dynamic_index_in_dim(
-            jnp.swapaxes(out["center_proj"], 0, 1), newest, 0, keepdims=False
-        )
+        # the column call's center_proj IS the newest column
+        center_newest = out["center_proj"][:, 0]
         res_bits = (
             exists.astype(jnp.uint8)
             + (new_state.astype(jnp.uint8) << 1)

@@ -25,6 +25,13 @@ import jax
 if not _HW:
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeated suite runs re-use compiled
+# programs instead of recompiling (minutes saved on a small host)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/nalo_jax_cache_" + ("axon" if _HW else "cputest"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
