@@ -148,9 +148,16 @@ def make_device_optimizer(settings, F: int, P: int):
         [0.0 if s.affine_opt_mode_a < 0 else 1.0,
          0.0 if s.affine_opt_mode_b < 0 else 1.0], jnp.float32)
 
-    def linearize(images, images_quad, pts, res, jstore, states, inp, f_eth):
+    def linearize(images, images_quad, pts, res, jstore, states, calib, inp,
+                  f_eth):
+        # `calib` is the CARRIED calib of the GN loop, not the start-of-KF
+        # inp["calib_value"]: the reference's doStepFromBackup updates Hcalib
+        # and setPrecalcValues() before the next linearizeAll, so every
+        # in-loop linearize must see the stepped intrinsics (this also makes
+        # the fused tail's column-restricted relinearize exact -- see
+        # make_device_optimizer_fused).
         KRKi, Kt, aff = _precalc_dev(states, inp["evalR"], inp["evalt"],
-                                     inp["calib_value"], inp["exposures"])
+                                     calib, inp["exposures"])
         out = K.linearize_residuals(
             images,
             pts["u"], pts["v"], pts["idepth"], pts["idepth_zero"],
@@ -159,7 +166,7 @@ def make_device_optimizer(settings, F: int, P: int):
             PRE_R0=inp["PRE_R0"], PRE_t0=inp["PRE_t0"],
             PRE_KRKi=KRKi, PRE_Kt=Kt, PRE_aff=aff, PRE_b0=inp["aff0_b"],
             f_energy_th=f_eth,
-            calib=inp["calib_value"],
+            calib=calib,
             outlier_th_sum=s.outlier_th_sum_component,
             huber_th=s.huber_th,
             ab_zero=ab_zero,
@@ -331,7 +338,7 @@ def make_device_optimizer(settings, F: int, P: int):
         # re-materialize ~20 ms/iteration at KITTI-class shapes)
         images_quad = jax.vmap(_interp.build_quad)(images)
         out0 = linearize(images, images_quad, pts, res0, jstore, states0,
-                         inp, f_eth0)
+                         calib0, inp, f_eth0)
         f_eth1 = frame_energy_th(out0, res0, newest, f_eth0)
         res1, jstore1 = apply_res(out0, res0, jstore)
 
@@ -343,7 +350,8 @@ def make_device_optimizer(settings, F: int, P: int):
                 c["it"], c["states"], c["calib"], c["pts"], c["res"], c["jstore"], inp
             )
             out = linearize(images, images_quad, pts2, c["res"],
-                            c["jstore"], new_states, inp, c["f_eth"])
+                            c["jstore"], new_states, new_calib, inp,
+                            c["f_eth"])
             f_eth = frame_energy_th(out, c["res"], newest, c["f_eth"])
             res2, jstore2 = apply_res(out, c["res"], c["jstore"])
             new = dict(it=c["it"] + 1, states=new_states, calib=new_calib,
@@ -712,10 +720,13 @@ def make_device_optimizer_fused(settings, F: int, P: int):
 
         # --- final relinearize + fixLinearization (linearizeAll(true)) ---
         # COLUMN-RESTRICTED: between the loop's last in-body linearize (at
-        # the final states) and this fix, the only linearization inputs
-        # that changed are the NEWEST frame's evaluation point (the new
-        # linearization point above) and the newest frame's f_eth
-        # (setNewFrameEnergyTH updates only that entry).  Both enter a
+        # the final states AND the final carried calib -- the in-loop
+        # linearize threads carry["calib"], so the intrinsics here are the
+        # ones the loop already linearized at) and this fix, the only
+        # linearization inputs that changed are the NEWEST frame's
+        # evaluation point (the new linearization point above) and the
+        # newest frame's f_eth (setNewFrameEnergyTH updates only that
+        # entry).  Both enter a
         # residual's linearization exclusively through its TARGET frame --
         # no point is ever hosted in the just-inserted keyframe (its
         # immature points don't exist yet during its own makeKeyFrame;

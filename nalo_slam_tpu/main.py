@@ -132,8 +132,12 @@ def run(argv: list[str]) -> int:
     if extras.get("precompile", "1") not in ("0", "", "false"):
         sys_.precompile()
 
+    # pipelined (track || map) is the DEFAULT execution model, matching the
+    # reference's dual-thread deliverTrackedFrame/mappingLoop design
+    # (FullSystem.cpp:1144-1263); pipelined=0 forces the sequential
+    # linearizeOperation path
     runner = sys_
-    pipelined = extras.get("pipelined", "0") not in ("0", "", "false")
+    pipelined = extras.get("pipelined", "1") not in ("0", "", "false")
     if pipelined:
         from .system.pipeline import PipelinedSystem
         runner = PipelinedSystem(sys_)

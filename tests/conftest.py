@@ -29,7 +29,10 @@ if not _HW:
 # programs instead of recompiling (minutes saved on a small host)
 jax.config.update(
     "jax_compilation_cache_dir",
-    "/tmp/nalo_jax_cache_" + ("axon" if _HW else "cputest"))
+    os.environ.get(
+        "NALO_JAX_CACHE",
+        "/tmp/nalo_jax_cache_%d_%s" % (
+            os.getuid(), "axon" if _HW else "cputest")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

@@ -47,6 +47,51 @@ def test_device_then_marginalize():
     assert np.isfinite(r)
 
 
+def test_fused_tail_matches_full_relinearize():
+    """The fused GN program's COLUMN-RESTRICTED tail relinearize
+    (device_opt.make_device_optimizer_fused) claims every non-newest
+    column is already linearized at the final states AND final calib, so
+    recomputing a FULL-window linearize at the adopted state must
+    reproduce the stored jstore.  This is the guard for the carried-calib
+    invariant: if the in-loop linearize ever reverts to the start-of-KF
+    calib while the loop steps the intrinsics, the stale non-newest
+    columns show up here as large jstore deviations."""
+    opt, _, _, _ = build_window(n_frames=3, pose_perturb=4e-3,
+                                idepth_perturb=0.02)
+    # Make the intrinsics actually MOVE in the loop: on this tiny planar
+    # window the photometric calib direction is near-unobservable (depth/
+    # pose gauge absorbs a 1% fx bias), so drive the step through the
+    # calib PRIOR instead -- a strong prior whose zero point disagrees
+    # with the current calib forces a decisive x_c every iteration.  A
+    # stale-calib tail would then relinearize non-newest columns at
+    # intrinsics ~1 px away from the loop's final calib.
+    opt.c_prior = np.full(4, 1e8, np.float64)
+    opt.calib_zero = opt.calib_value * np.array([1.004, 0.996, 1.0, 1.0])
+    calib_before = opt.calib_value.copy()
+    opt.optimize_device(6)
+    assert np.abs(opt.calib_value - calib_before).max() > 1e-4, (
+        "calib did not move; test lost its sensitivity")
+
+    p = opt.pts
+    upd = p.r_exists & ~p.r_linearized & (p.r_state == 0)  # RES_IN
+    assert upd.sum() > 100
+    jst0 = {k: np.asarray(v) for k, v in opt.jstore.items()}
+    st0 = p.r_state.copy()
+    en0 = opt.sync_r_energy().copy()  # r_energy is device-resident between KFs
+
+    # full-window host relinearize at the adopted final state
+    opt.linearize_all(fix=False)
+
+    np.testing.assert_array_equal(st0, opt.pts.r_state)
+    np.testing.assert_allclose(en0[upd], opt.pts.r_energy[upd],
+                               rtol=2e-3, atol=2e-3)
+    for k in ("resF", "JIdx", "JabF", "Jpdxi", "Jpdc", "Jpdd"):
+        a = jst0[k][upd]
+        b = np.asarray(opt.jstore[k])[upd]
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"jstore[{k}] stale")
+
+
 def test_compact_matches_full(monkeypatch):
     """Active-slot compaction (device_opt.make_device_optimizer_compact)
     must be bit-identical in effect to the full-P program: same poses,
