@@ -51,6 +51,36 @@ def normalize(img_rgb: np.ndarray) -> np.ndarray:
     return (img_rgb.astype(np.float32) / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
 
 
+def make_sample_list(img_dir: str, gt_dir: str, out_file: str,
+                     focal: float | None = None,
+                     relative_to: str | None = None) -> int:
+    """Pair sorted images with sorted label PNGs into a sample list.
+
+    Rebuild of mp_mask/pytorch/file_path_io.py: one 'image gt [focal]'
+    line per frame, consumable by MaskDataset.  Counts must match; pairs
+    are by sort order (the reference pairs i-th with i-th).  Returns the
+    number of lines written.
+    """
+    exts = (".png", ".jpg", ".jpeg")
+    imgs = sorted(f for f in os.listdir(img_dir)
+                  if f.lower().endswith(exts))
+    gts = sorted(f for f in os.listdir(gt_dir)
+                 if f.lower().endswith(exts))
+    if len(imgs) != len(gts):
+        raise ValueError(
+            f"{img_dir}: {len(imgs)} images vs {gt_dir}: {len(gts)} labels")
+    def rel(p):
+        return os.path.relpath(p, relative_to) if relative_to else p
+    os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
+    with open(out_file, "w") as f:
+        for a, b in zip(imgs, gts):
+            line = f"{rel(os.path.join(img_dir, a))} {rel(os.path.join(gt_dir, b))}"
+            if focal is not None:
+                line += f" {focal}"
+            f.write(line + "\n")
+    return len(imgs)
+
+
 class MaskDataset:
     """Filename-list dataset: each line 'image_rel depth_rel [focal]'."""
 
@@ -134,3 +164,15 @@ def depth_to_mask(depth: np.ndarray, max_depth: float = 80.0) -> np.ndarray:
     has = depth > 0
     m[has] = np.clip(255.0 * (1.0 - depth[has] / max_depth), 1, 255)
     return m
+
+
+if __name__ == "__main__":  # file_path_io.py CLI analog
+    import sys as _sys
+    if len(_sys.argv) < 4:
+        print("usage: python -m nalo_slam_tpu.mpmask.data "
+              "<img_dir> <gt_dir> <out.txt> [focal]")
+        raise SystemExit(2)
+    _n = make_sample_list(
+        _sys.argv[1], _sys.argv[2], _sys.argv[3],
+        focal=float(_sys.argv[4]) if len(_sys.argv) > 4 else None)
+    print(f"wrote {_n} lines to {_sys.argv[3]}")

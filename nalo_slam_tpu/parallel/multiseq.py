@@ -58,7 +58,8 @@ class MultiSeqSystem:
     rows; the reference has no analog).  Each sequence keeps its own
     sliding window / BA; compiled programs are shared across sequences."""
 
-    def __init__(self, settings, calib, n_seq: int, mesh: Mesh | None = None):
+    def __init__(self, settings, calib, n_seq: int, mesh: Mesh | None = None,
+                 auto_fallback: bool = True):
         from ..system import FullSystem
 
         self.B = n_seq
@@ -72,11 +73,73 @@ class MultiSeqSystem:
             MultiSeqTracker(f0.shapes, f0.Ks, settings, mesh, f0._affine_mode)
             if mesh is not None else None
         )
+        # Never-worse guard: lock-step batching wins at its design point
+        # (>= one chip per sequence) but on an OVERSUBSCRIBED mesh the
+        # batched programs are B/n_dev times the compute per dispatch, and
+        # whether that beats B separate dispatch round-trips depends on the
+        # link/compute ratio.  When B > mesh size, A/B-probe both execution
+        # modes on the live workload right after initialization and keep
+        # the faster one for the rest of the run.
+        self.lockstep_mode = "batched" if self.tracker is not None else "sequential"
+        self._probe = None
+        if (self.tracker is not None and auto_fallback
+                and n_seq > mesh.devices.size):
+            self._probe = dict(phase="bat", skip=1, bat=[], seq=[], n=4)
 
     def add_frames(self, images, timestamp: float = 0.0, incoming_id: int = -1,
                    exposures=None):
         """Feed frame k of every sequence (images[b] may be None when a
         sequence has ended)."""
+        probe = self._probe
+        if probe is not None:
+            live = [b for b in range(self.B) if images[b] is not None]
+            ready = live and all(
+                self.systems[b].initialized or self.systems[b].is_lost
+                for b in live)
+            if ready:
+                import time as _time
+                t0 = _time.perf_counter()
+                if probe["phase"] == "bat":
+                    self._add_frames_batched(images, timestamp, incoming_id,
+                                             exposures)
+                else:
+                    self._add_frames_fallback(images, timestamp, incoming_id,
+                                              exposures)
+                dt = _time.perf_counter() - t0
+                if probe["skip"] > 0:
+                    probe["skip"] -= 1   # first lock-step of a phase pays
+                    return               # compile/cache-load; don't count it
+                probe[probe["phase"]].append(dt)
+                if probe["phase"] == "bat" and len(probe["bat"]) >= probe["n"]:
+                    probe["phase"], probe["skip"] = "seq", 1
+                elif len(probe["seq"]) >= probe["n"]:
+                    # drop the worst sample of each phase (a keyframe
+                    # lock-step) and compare the rest
+                    tb = float(np.mean(sorted(probe["bat"])[:-1]))
+                    ts = float(np.mean(sorted(probe["seq"])[:-1]))
+                    if ts <= tb:
+                        self.tracker = None
+                        self.lockstep_mode = "sequential(auto)"
+                    else:
+                        self.lockstep_mode = "batched(auto)"
+                    self._probe = None
+                return
+        return self._add_frames_batched(images, timestamp, incoming_id,
+                                        exposures)
+
+    def _add_frames_fallback(self, images, timestamp, incoming_id, exposures):
+        """Per-system execution (the single-sequence path for every live
+        sequence); compiled programs are still shared via _track_fns."""
+        for b, sysb in enumerate(self.systems):
+            img = images[b]
+            if img is None or sysb.is_lost:
+                continue
+            exp = float(exposures[b]) if exposures is not None else 1.0
+            sysb.add_frame(img, exposure=exp, timestamp=timestamp,
+                           incoming_id=incoming_id)
+
+    def _add_frames_batched(self, images, timestamp: float = 0.0,
+                            incoming_id: int = -1, exposures=None):
         import numpy as np
 
         pend = []   # (seq idx, frame, (tries, aff0, ref))

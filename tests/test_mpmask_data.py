@@ -4,9 +4,9 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 from nalo_slam_tpu.mpmask.data import (depth_to_mask, kitti_crop,
-                                       load_depth_png, normalize,
-                                       project_lidar_to_image, save_depth_png,
-                                       MaskDataset)
+                                       load_depth_png, make_sample_list,
+                                       normalize, project_lidar_to_image,
+                                       save_depth_png, MaskDataset)
 from nalo_slam_tpu.mpmask.bts import BtsConfig
 from nalo_slam_tpu.mpmask.infer import MaskPredictor, export_depth_pngs
 
@@ -39,6 +39,35 @@ def test_depth_to_mask_monotonic():
     m = depth_to_mask(d)
     assert m[0, 0] == 0           # no return
     assert m[0, 1] > m[0, 2] > m[0, 3] > 0
+
+
+def test_make_sample_list(tmp_path):
+    """file_path_io.py analog: sorted pairing, focal column, MaskDataset
+    round-trip, count-mismatch rejection."""
+    rng = np.random.default_rng(1)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "gt").mkdir()
+    for k in range(3):
+        img = rng.uniform(0, 255, (375, 1242, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / f"{k:06d}.png"), img)
+        save_depth_png(str(tmp_path / "gt" / f"{k:06d}.png"),
+                       rng.uniform(1, 60, (375, 1242)).astype(np.float32))
+    out = tmp_path / "lists" / "samples.txt"
+    n = make_sample_list(str(tmp_path / "images"), str(tmp_path / "gt"),
+                         str(out), focal=718.0, relative_to=str(tmp_path))
+    assert n == 3
+    lines = out.read_text().splitlines()
+    assert len(lines) == 3
+    assert lines[0].split() == ["images/000000.png", "gt/000000.png", "718.0"]
+    ds = MaskDataset(str(out), str(tmp_path), train=False)
+    imgs, gts = next(ds.batches(2, shuffle=False))
+    assert imgs.shape == (2, 352, 1216, 3)
+    # mismatched counts must be rejected
+    cv2.imwrite(str(tmp_path / "images" / "extra.png"),
+                np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(ValueError):
+        make_sample_list(str(tmp_path / "images"), str(tmp_path / "gt"),
+                         str(out))
 
 
 def test_mask_dataset_and_batches(tmp_path):

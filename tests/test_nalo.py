@@ -67,12 +67,19 @@ class TestDenseFrontend:
         calib = default_calib()
         scene = GroundWallScene(calib)
         img, mask, us, vs, idp = _scene_points(calib, scene)
+        # the two-surface synthetic scene yields only 2 mask labels; the
+        # reference's update requires >= 4 clusters (CoarseTracker dense
+        # path), so split the wall region into two extra labels
+        wall_rows = np.nonzero((mask == 100).any(1))[0]
+        if len(wall_rows) > 4:
+            r0 = wall_rows[: len(wall_rows) // 2]
+            mask[r0[:, None], np.arange(mask.shape[1] // 2)] = 50
+            mask[r0[:, None],
+                 np.arange(mask.shape[1] // 2, mask.shape[1])] = 150
         gs = GroundState()
         out = dense_frontend_update(mask, us, vs, idp, img, calib.Ki[0],
                                     calib.w[0], calib.h[0], gs)
-        assert out is not None or True  # <4 clusters returns None
-        if out is None:
-            pytest.skip("cluster count below reference threshold in synthetic")
+        assert out is not None, "expected >= 4 clusters after label split"
         assert out["ground_height"] == pytest.approx(1.5, abs=0.1)
         if out["dense"] is not None:
             du, dv, did, dc = out["dense"]

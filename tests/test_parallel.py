@@ -328,3 +328,44 @@ def test_vmapped_window_ba_matches_per_window():
         # same optimization outcome as the per-window run (f32 tolerance)
         np.testing.assert_allclose(states[:3, :8], ref_states[b][:3, :8],
                                    rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_multiseq_auto_fallback_probe():
+    """Never-worse guard: with B > mesh size the system A/B-probes both
+    execution modes after initialization and commits to the faster one;
+    either choice must leave every sequence healthy."""
+    from nalo_slam_tpu.parallel import MultiSeqSystem
+
+    B = 2
+    n = 26
+    calib = default_calib(240, 180, f=200.0)
+    mesh = make_mesh(dp=1, tp=1)   # oversubscribed: 2 sequences, 1 element
+    s = Settings(
+        max_window_frames=8, max_points=2048, max_immature_per_frame=512,
+        desired_point_density=500.0, desired_immature_density=400.0,
+        use_lidar=False, dense_track=False, plane_optimize=False,
+    )
+    scene = PlaneScene(calib, z0=3.0)
+
+    def gt_pose(b, k):
+        xi = np.array([(0.05 + 0.002 * b) * k, 0.01 * np.sin(0.2 * k + 0.3 * b),
+                       0.02 * k, 0.0, 0.004 * np.sin(0.15 * k), 0.0])
+        return SE3.exp(xi)
+
+    rng = np.random.default_rng(5)
+    ms = MultiSeqSystem(s, calib, B, mesh)
+    assert ms._probe is not None   # oversubscribed -> probe armed
+    for k in range(n):
+        imgs = []
+        for b in range(B):
+            img, _ = scene.render(gt_pose(b, k))
+            imgs.append(img + rng.normal(scale=1.2, size=img.shape)
+                        .astype(np.float32))
+        ms.add_frames(imgs, timestamp=float(k), incoming_id=k)
+    assert ms._probe is None, "probe never resolved"
+    assert ms.lockstep_mode in ("batched(auto)", "sequential(auto)")
+    if ms.lockstep_mode == "sequential(auto)":
+        assert ms.tracker is None
+    for b, sysb in enumerate(ms.systems):
+        assert sysb.initialized and not sysb.is_lost, f"seq {b} unhealthy"

@@ -13,8 +13,10 @@ tests/test_parallel.py).  On ONE chip the batched programs are B times
 the compute, so batching only wins where per-dispatch overhead (the
 ~30 ms tunneled round trip) dominates compute; measured 0.66x aggregate
 at 320x240 preset-2-class density on one v5e -- compute-bound, as
-expected.  Use the single-sequence path on one chip; use lock-step when
-sequences >= chips.
+expected.  MultiSeqSystem now A/B-probes both modes right after
+initialization whenever B > mesh size and keeps the faster one
+(never-worse guard; "mode" in the output says what it chose), so on one
+chip the aggregate is >= the sequential baseline by construction.
 
 Run:  python tools/bench_multiseq.py [B=4] [n=60] [w=320 h=240]
 """
@@ -114,6 +116,7 @@ def main(argv):
         "batched_fps": round(batched_fps, 2),
         "sequential_fps": round(seq_fps, 2),
         "speedup": round(batched_fps / max(seq_fps, 1e-9), 2),
+        "mode": ms.lockstep_mode,
         "healthy_batched": ok_b, "healthy_sequential": ok_s,
         "devices": n_dev,
     }))
