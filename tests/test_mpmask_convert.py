@@ -1,19 +1,29 @@
 """torchvision->Flax encoder weight conversion (mpmask/convert.py).
 
 Golden parity: a from-scratch torch module replicating the torchvision
-ResNet/ResNeXt layout (same state_dict names, same padding/BN semantics)
-is randomly initialised, its state_dict converted, and the Flax encoder
-must reproduce the torch skip activations to f32 tolerance.  torchvision
-itself is not in this environment; the mini-model IS the layout contract
-(torchvision resnet.py Bottleneck: conv1 1x1 -> bn1 -> conv2 3x3 grouped,
-stride, pad 1 -> bn2 -> conv3 1x1 -> bn3 -> += downsample(x) -> relu).
+ResNet/ResNeXt layout (tests/make_convert_fixture.py:TorchEncoder — the
+layout contract for torchvision resnet.py / the reference's
+mp_mask/pytorch/bts_my.py encoder) is randomly initialised, its
+state_dict converted, and the Flax encoder must reproduce the torch
+skip activations to f32 tolerance.
+
+Environments WITHOUT torch run against the vendored golden fixture
+(tests/fixtures/encoder_golden.npz — the same module's frozen
+state_dict + input + skip activations; regenerate with
+`python tests/make_convert_fixture.py`), so the conversion contract is
+verified everywhere, torch or not.
 """
+
+import os
 
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
-import torch.nn as tnn  # noqa: E402
+try:
+    import torch  # noqa: F401
+    HAS_TORCH = True
+except ImportError:
+    HAS_TORCH = False
 
 import jax  # noqa: E402
 
@@ -24,96 +34,29 @@ from nalo_slam_tpu.mpmask.convert import (  # noqa: E402
 )
 
 CFG = BtsConfig.tiny()
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "encoder_golden.npz")
 
 
-def _inner(out_ch, groups, width):
-    # must match bts.Bottleneck's width rule (== torchvision's for
-    # resnext101_32x8d: width = planes*base_width/64*groups = out_ch)
-    inner = groups * width * (out_ch // 256 if out_ch >= 256 else 1)
-    return max(inner, out_ch // 2)
-
-
-class TorchBottleneck(tnn.Module):
-    def __init__(self, in_ch, out_ch, stride, groups, width):
-        super().__init__()
-        inner = _inner(out_ch, groups, width)
-        self.conv1 = tnn.Conv2d(in_ch, inner, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(inner)
-        self.conv2 = tnn.Conv2d(inner, inner, 3, stride=stride, padding=1,
-                                groups=groups, bias=False)
-        self.bn2 = tnn.BatchNorm2d(inner)
-        self.conv3 = tnn.Conv2d(inner, out_ch, 1, bias=False)
-        self.bn3 = tnn.BatchNorm2d(out_ch)
-        self.relu = tnn.ReLU(inplace=True)
-        if in_ch != out_ch or stride != 1:
-            self.downsample = tnn.Sequential(
-                tnn.Conv2d(in_ch, out_ch, 1, stride=stride, bias=False),
-                tnn.BatchNorm2d(out_ch))
-        else:
-            self.downsample = None
-
-    def forward(self, x):
-        idt = x if self.downsample is None else self.downsample(x)
-        h = self.relu(self.bn1(self.conv1(x)))
-        h = self.relu(self.bn2(self.conv2(h)))
-        h = self.bn3(self.conv3(h))
-        return self.relu(h + idt)
-
-
-class TorchEncoder(tnn.Module):
-    """torchvision-resnet-shaped encoder emitting the 5 BTS skips."""
-
-    def __init__(self, cfg: BtsConfig):
-        super().__init__()
-        c = cfg
-        self.conv1 = tnn.Conv2d(3, c.stage_channels[0], 7, stride=2,
-                                padding=3, bias=False)
-        self.bn1 = tnn.BatchNorm2d(c.stage_channels[0])
-        self.relu = tnn.ReLU(inplace=True)
-        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
-        in_ch = c.stage_channels[0]
-        for li, (ch, nb) in enumerate(zip(c.stage_channels[1:], c.stage_blocks)):
-            blocks = []
-            for b in range(nb):
-                stride = 2 if (b == 0 and li > 0) else 1
-                blocks.append(TorchBottleneck(in_ch, ch, stride,
-                                              c.groups, c.group_width))
-                in_ch = ch
-            setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
-
-    def forward(self, x):
-        h = self.relu(self.bn1(self.conv1(x)))
-        skips = [h]
-        h = self.maxpool(h)
-        for li in range(1, 5):
-            h = getattr(self, f"layer{li}")(h)
-            skips.append(h)
-        return skips
-
-
-def _randomize(m):
-    g = torch.Generator().manual_seed(7)
-    with torch.no_grad():
-        for p in m.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
-        for b in m.modules():
-            if isinstance(b, tnn.BatchNorm2d):
-                b.running_mean.copy_(
-                    torch.randn(b.running_mean.shape, generator=g) * 0.1)
-                b.running_var.copy_(
-                    torch.rand(b.running_var.shape, generator=g) * 0.5 + 0.5)
+def golden():
+    """(state_dict, x_nchw, skips_nhwc): live torch when present, else the
+    vendored fixture (same seeds, same module)."""
+    if HAS_TORCH:
+        from tests.make_convert_fixture import make_golden
+        return make_golden(CFG)
+    if not os.path.exists(FIXTURE):  # pragma: no cover
+        pytest.skip("no torch and no vendored fixture")
+    z = np.load(FIXTURE)
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd:")}
+    skips = [z[f"skip_{i}"] for i in range(5)]
+    return sd, z["x"], skips
 
 
 def test_encoder_conversion_golden():
-    tm = TorchEncoder(CFG).eval()
-    _randomize(tm)
-    x = torch.randn(1, 3, 64, 96, generator=torch.Generator().manual_seed(3))
-    with torch.no_grad():
-        t_skips = [s.numpy().transpose(0, 2, 3, 1) for s in tm(x)]
-
-    params, stats = torch_encoder_to_flax(tm.state_dict(), CFG)
+    sd, x, t_skips = golden()
+    params, stats = torch_encoder_to_flax(sd, CFG)
     enc = Encoder(CFG)
-    xj = x.numpy().transpose(0, 2, 3, 1)
+    xj = np.asarray(x).transpose(0, 2, 3, 1)
     f_skips = enc.apply({"params": params, "batch_stats": stats}, xj,
                         train=False)
 
@@ -125,15 +68,15 @@ def test_encoder_conversion_golden():
 
 
 def test_load_pretrained_encoder_merges_and_checks():
-    tm = TorchEncoder(CFG).eval()
-    _randomize(tm)
+    sd, _, _ = golden()
     model = BtsModel(CFG)
     variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, 64, 96, 3), np.float32), True)
-    merged = load_pretrained_encoder(variables, tm.state_dict(), CFG)
+    merged = load_pretrained_encoder(variables, sd, CFG)
     k = np.asarray(merged["params"]["Encoder_0"]["Conv_0"]["kernel"])
-    np.testing.assert_allclose(
-        k, tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0))
+    w = sd["conv1.weight"]
+    w = w.numpy() if hasattr(w, "numpy") else w
+    np.testing.assert_allclose(k, w.transpose(2, 3, 1, 0))
     # decoder params untouched
     assert merged["params"]["Decoder_0"] is variables["params"]["Decoder_0"]
     # full model still runs with the merged tree
@@ -143,18 +86,34 @@ def test_load_pretrained_encoder_merges_and_checks():
     assert out[-1].shape == (1, 64, 96, 1)
 
     # a mismatched architecture must be rejected
-    bad = dict(tm.state_dict())
-    bad["conv1.weight"] = torch.zeros(CFG.stage_channels[0], 3, 5, 5)
+    bad = dict(sd)
+    bad["conv1.weight"] = np.zeros(
+        (CFG.stage_channels[0], 3, 5, 5), np.float32)
     with pytest.raises(ValueError):
         load_pretrained_encoder(variables, bad, CFG)
 
 
 def test_blocks_inferred_from_state_dict():
-    tm = TorchEncoder(CFG).eval()
-    _randomize(tm)
+    sd, _, _ = golden()
     model = BtsModel(CFG)
     variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, 64, 96, 3), np.float32), True)
     # cfg=None path: stage_blocks read off the layer names
-    merged = load_pretrained_encoder(variables, tm.state_dict(), None)
+    merged = load_pretrained_encoder(variables, sd, None)
     assert "Bottleneck_3" in merged["params"]["Encoder_0"]
+
+
+def _test_fixture_sync():
+    """The vendored fixture must stay in sync with the live module."""
+    sd, x, skips = golden()
+    z = np.load(FIXTURE)
+    np.testing.assert_array_equal(z["x"], x)
+    for i, s in enumerate(skips):
+        np.testing.assert_allclose(z[f"skip_{i}"], s, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(z["sd:conv1.weight"],
+                                  sd["conv1.weight"].numpy())
+
+
+if HAS_TORCH and os.path.exists(FIXTURE):
+    # only defined where it can run: a no-torch env sees 3/3 pass, 0 skips
+    test_fixture_matches_live_torch = _test_fixture_sync

@@ -22,7 +22,13 @@ from nalo_slam_tpu.utils.synthetic import GroundWallScene, default_calib  # noqa
 
 
 def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
-         amp_a=0.08, amp_b=3.0, noise=1.2):
+         amp_a=0.08, amp_b=3.0, noise=1.2, gamma=0.0, vignette=0):
+    """gamma>0 / vignette=1 emit a photometrically-distorted sequence plus
+    the calibration files that undo it (pcalib.txt response samples +
+    16-bit vignette.png), exercising the reference's mode=0 path
+    (src/util/Undistort.cpp:47-254): the sensor model is
+    raw = G_resp(B * V) with G_resp(x) = 255*(x/255)**gamma, so the
+    pcalib file stores G_resp^-1 sampled on the 256 raw levels."""
     os.makedirs(f"{outdir}/images", exist_ok=True)
     os.makedirs(f"{outdir}/masks", exist_ok=True)
     # the reference reads a color image for every frame unconditionally
@@ -31,6 +37,22 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
     calib = default_calib(w, h)
     scene = GroundWallScene(calib, y0=1.5, z_wall=30.0)
     rng = np.random.default_rng(seed)
+    vmap_f = None
+    if vignette:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2) / 2
+        vmap_f = 1.0 - 0.45 * r2  # smooth radial falloff, min ~0.55
+        cv2.imwrite(f"{outdir}/vignette.png",
+                    (vmap_f * 65535.0 / vmap_f.max()).astype(np.uint16))
+    if gamma > 0:
+        # pcalib: irradiance at each raw level, i.e. G_resp^-1 (strictly
+        # increasing, normalized by the reader)
+        lv = np.arange(256, dtype=np.float64)
+        inv = 255.0 * (lv / 255.0) ** (1.0 / gamma)
+        inv[0] = 0.0
+        inv = np.maximum.accumulate(inv + 1e-4 * lv)  # strict monotonicity
+        with open(f"{outdir}/pcalib.txt", "w") as f:
+            f.write(" ".join(f"{v:.6f}" for v in inv) + "\n")
     poses = []
     for k in range(frames):
         xi = np.array(
@@ -52,6 +74,12 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
         img = np.exp(a) * img + b
         if noise > 0:
             img = img + rng.normal(scale=noise, size=img.shape)
+        if vignette or gamma > 0:
+            img = np.clip(img, 0, 255)
+            if vignette:
+                img = img * vmap_f
+            if gamma > 0:
+                img = 255.0 * (np.maximum(img, 0.0) / 255.0) ** gamma
         img = np.clip(img, 0, 255).astype(np.uint8)
         cv2.imwrite(f"{outdir}/images/{k:06d}.png", img)
         cv2.imwrite(f"{outdir}/masks/{k:06d}.png", mask.astype(np.uint8))
@@ -83,5 +111,7 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
 if __name__ == "__main__":
     kv = dict(a.split("=", 1) for a in sys.argv[1:])
     make(kv.get("outdir", "/tmp/pds"), int(kv.get("frames", "350")),
+         w=int(kv.get("w", "320")), h=int(kv.get("h", "240")),
          amp_a=float(kv.get("amp_a", "0.08")), amp_b=float(kv.get("amp_b", "3.0")),
-         noise=float(kv.get("noise", "1.2")))
+         noise=float(kv.get("noise", "1.2")), gamma=float(kv.get("gamma", "0")),
+         vignette=int(kv.get("vignette", "0")))

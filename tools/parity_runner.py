@@ -83,7 +83,7 @@ def main(argv):
     if not skip_run:
         cli = [sys.executable, "-m", "nalo_slam_tpu.main",
                *[f"{k}={v}" for k, v in kv.items()],
-               "mode=1", f"output={ours_path}"]
+               *([] if "mode" in kv else ["mode=1"]), f"output={ours_path}"]
         print("+", " ".join(cli))
         subprocess.run(cli, check=True)
 
