@@ -104,14 +104,24 @@ def test_blocks_inferred_from_state_dict():
 
 
 def _test_fixture_sync():
-    """The vendored fixture must stay in sync with the live module."""
+    """The vendored fixture must stay in sync with the live module.
+
+    Tolerances are loose-ish on purpose: torch only guarantees RNG/kernel
+    reproducibility within a version+platform, so a torch upgrade or BLAS
+    backend change may legitimately shift low-order bits.  If this fails
+    after an environment change, regenerate with
+    `python tests/make_convert_fixture.py`.
+    """
+    regen = "fixture stale? regenerate: python tests/make_convert_fixture.py"
     sd, x, skips = golden()
     z = np.load(FIXTURE)
-    np.testing.assert_array_equal(z["x"], x)
+    np.testing.assert_allclose(z["x"], x, rtol=1e-5, atol=1e-6, err_msg=regen)
     for i, s in enumerate(skips):
-        np.testing.assert_allclose(z[f"skip_{i}"], s, rtol=1e-6, atol=1e-7)
-    np.testing.assert_array_equal(z["sd:conv1.weight"],
-                                  sd["conv1.weight"].numpy())
+        np.testing.assert_allclose(z[f"skip_{i}"], s, rtol=1e-4, atol=1e-5,
+                                   err_msg=regen)
+    np.testing.assert_allclose(z["sd:conv1.weight"],
+                               sd["conv1.weight"].numpy(),
+                               rtol=1e-5, atol=1e-6, err_msg=regen)
 
 
 if HAS_TORCH and os.path.exists(FIXTURE):

@@ -65,10 +65,17 @@ def test_graph_and_render_wrappers(tmp_path):
     assert summ["kf_stage_ms_median"]["total"] > 0
 
 
-def test_dryrun_multichip_inprocess():
-    """With 8 visible devices (conftest mesh) the dryrun runs in-process."""
+def test_dryrun_multichip_subprocess(monkeypatch):
+    """The 8-device dryrun runs in a fresh subprocess (NALO_DRYRUN_SUBPROC).
+
+    Running it in-process after a full suite's worth of compiled state
+    crashed JAX's compilation-cache writer (SIGABRT/SIGSEGV at the sharded
+    train-step compile); the driver's own invocation is out-of-process too,
+    so the subprocess path is the one worth pinning.
+    """
     import sys as _sys
     _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as g
 
+    monkeypatch.setenv("NALO_DRYRUN_SUBPROC", "1")
     g.dryrun_multichip(8)

@@ -44,11 +44,16 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
         vmap_f = 1.0 - 0.45 * r2  # smooth radial falloff, min ~0.55
         cv2.imwrite(f"{outdir}/vignette.png",
                     (vmap_f * 65535.0 / vmap_f.max()).astype(np.uint16))
-    if gamma > 0:
+    if gamma > 0 or vignette:
         # pcalib: irradiance at each raw level, i.e. G_resp^-1 (strictly
-        # increasing, normalized by the reader)
+        # increasing, normalized by the reader).  With vignette-only
+        # distortion (gamma==0) emit the identity ramp: the reference's
+        # mode=0 exits without a valid response file
+        # (main_dso_pangolin.cpp:467) and its PhotometricUndistorter
+        # ignores the vignette unless the pcalib parsed.
         lv = np.arange(256, dtype=np.float64)
-        inv = 255.0 * (lv / 255.0) ** (1.0 / gamma)
+        g_eff = gamma if gamma > 0 else 1.0
+        inv = 255.0 * (lv / 255.0) ** (1.0 / g_eff)
         inv[0] = 0.0
         inv = np.maximum.accumulate(inv + 1e-4 * lv)  # strict monotonicity
         with open(f"{outdir}/pcalib.txt", "w") as f:
