@@ -103,6 +103,59 @@ def test_blocks_inferred_from_state_dict():
     assert "Bottleneck_3" in merged["params"]["Encoder_0"]
 
 
+FIXTURE_FULL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "fixtures", "bts_golden.npz")
+
+
+def golden_full():
+    """(full state_dict, x_nchw, 5 torch outputs nhwc): live torch when
+    present, else the vendored full-model fixture."""
+    if HAS_TORCH:
+        from tests.make_convert_fixture import make_golden_full
+        return make_golden_full(CFG)
+    if not os.path.exists(FIXTURE_FULL):  # pragma: no cover
+        pytest.skip("no torch and no vendored full-model fixture")
+    z = np.load(FIXTURE_FULL)
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd:")}
+    outs = [z[f"out_{i}"] for i in range(5)]
+    return sd, z["x"], outs
+
+
+def test_full_model_conversion_golden():
+    """load_pretrained_bts: full torch BTS checkpoint (encoder + decoder,
+    reference key layout) -> Flax BtsModel reproduces all 5 outputs
+    (depth8/4/2 LPG maps, reduc1x1, final sigmoid depth)."""
+    from nalo_slam_tpu.mpmask.convert import load_pretrained_bts
+
+    sd, x, t_outs = golden_full()
+    model = BtsModel(CFG)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 96, 3), np.float32), True)
+    merged = load_pretrained_bts(variables, sd, CFG)
+    xj = np.asarray(x).transpose(0, 2, 3, 1)
+    f_outs = model.apply(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]},
+        xj, False)
+    names = ["depth8", "depth4", "depth2", "reduc1x1", "final"]
+    assert len(t_outs) == len(f_outs) == 5
+    for n, a, b in zip(names, t_outs, f_outs):
+        b = np.asarray(b)
+        assert a.shape == b.shape, f"{n}: {a.shape} vs {b.shape}"
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4, err_msg=n)
+
+
+def test_load_pretrained_bts_rejects_partial():
+    from nalo_slam_tpu.mpmask.convert import load_pretrained_bts
+
+    sd, _, _ = golden()   # encoder-only state_dict, no decoder.* keys
+    model = BtsModel(CFG)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 96, 3), np.float32), True)
+    with pytest.raises(ValueError):
+        load_pretrained_bts(variables, {f"encoder.base_model.{k}": v
+                                        for k, v in sd.items()}, CFG)
+
+
 def _test_fixture_sync():
     """The vendored fixture must stay in sync with the live module.
 
