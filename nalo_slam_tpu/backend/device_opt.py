@@ -327,7 +327,7 @@ def make_device_optimizer(settings, F: int, P: int):
 
     @jax.jit
     def optimize(images, pts, res, jstore, states0, calib0, f_eth0, inp,
-                 max_iters, newest):
+                 max_iters, newest, images_quad=None):
         def reset_oob(res):
             act = res["exists"] & ~res["linearized"]
             return dict(res, state=jnp.where(act, RES_IN, res["state"]))
@@ -335,8 +335,12 @@ def make_device_optimizer(settings, F: int, P: int):
         res0 = reset_oob(res)
         # ONE quad-tap table build per program: the loop body closes over
         # it, so XLA hoists it out of the while (an in-body build would
-        # re-materialize ~20 ms/iteration at KITTI-class shapes)
-        images_quad = jax.vmap(_interp.build_quad)(images)
+        # re-materialize ~20 ms/iteration at KITTI-class shapes).  Callers
+        # holding the window's device-resident quad store (energy.py
+        # WindowOptimizer.quads -- built once per KF insert) pass it in
+        # and skip even that one per-program build.
+        if images_quad is None:
+            images_quad = jax.vmap(_interp.build_quad)(images)
         out0 = linearize(images, images_quad, pts, res0, jstore, states0,
                          calib0, inp, f_eth0)
         f_eth1 = frame_energy_th(out0, res0, newest, f_eth0)
@@ -686,9 +690,11 @@ def make_device_optimizer_fused(settings, F: int, P: int):
 
     @jax.jit
     def optimize(images, pts, res, jstore, states0, calib0, f_eth0, inp,
-                 max_iters, newest):
+                 max_iters, newest, images_quad=None):
+        if images_quad is None:
+            images_quad = jax.vmap(_interp.build_quad)(images)
         carry = base(images, pts, res, jstore, states0, calib0, f_eth0, inp,
-                     max_iters, newest)
+                     max_iters, newest, images_quad)
         states = carry["states"]
         calib = carry["calib"]
         pts2 = carry["pts"]
@@ -742,7 +748,8 @@ def make_device_optimizer_fused(settings, F: int, P: int):
             return jax.lax.dynamic_slice_in_dim(a, newest, 1, axis=axis)
 
         img_n = colj(images, axis=0)                      # (1, H, W, 3)
-        quad_n = jax.vmap(_interp.build_quad)(img_n)
+        # the newest column of the already-built table (NOT a rebuild)
+        quad_n = colj(images_quad, axis=0)
         out = K.linearize_residuals(
             img_n,
             pts2["u"], pts2["v"], pts2["idepth"], pts2["idepth_zero"],
@@ -870,11 +877,11 @@ def make_device_optimizer_fused(settings, F: int, P: int):
 
     @jax.jit
     def optimize_flat(images, jstore, flat_in, flat_u8, pts_static,
-                      r_energy, max_iters, newest):
+                      r_energy, max_iters, newest, images_quad=None):
         pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
             flat_in, flat_u8, pts_static, r_energy, F, P)
         return optimize(images, pts, res, jstore, states0, calib0, f_eth0,
-                        inp, max_iters, newest)
+                        inp, max_iters, newest, images_quad)
 
     optimize.flat = optimize_flat
     _FUSED_CACHE[key] = (settings, optimize)
@@ -916,7 +923,7 @@ def make_device_optimizer_compact(settings, F: int, P: int, P_eff: int):
 
     @jax.jit
     def run(images, jstore_full, flat_in, flat_u8, idx, pts_static_full,
-            r_energy_full, max_iters, newest):
+            r_energy_full, max_iters, newest, images_quad=None):
         def take(a):
             return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
 
@@ -926,7 +933,7 @@ def make_device_optimizer_compact(settings, F: int, P: int, P_eff: int):
         pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
             flat_in, flat_u8, pts_static, r_energy, F, P_eff)
         out = inner(images, pts, res, jstore, states0, calib0, f_eth0,
-                    inp, max_iters, newest)
+                    inp, max_iters, newest, images_quad)
         jstore2 = {k: jstore_full[k].at[idx].set(out["jstore"][k], mode="drop")
                    for k in jstore_full}
         r_energy2 = r_energy_full.at[idx].set(out["res"]["energy"],

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import CPARS, SCALE_A, SCALE_B, SCALE_XI_TRANS, Settings
 from ..geometry import SE3
+from ..ops import interp as _interp
 from . import ba_kernels as K
 from .window import (RES_IN, RES_NONE, RES_OOB, RES_OUTLIER, FrameState,
                      PointArrays, _S2_C, _S2_F)
@@ -109,6 +110,12 @@ class WindowOptimizer:
         self._pts_static_dev = None
         self._pts_static_pending: list = []
         self.images = jnp.zeros((self.F, self.H_img, self.W_img, 3), jnp.float32)
+        # device-resident quad-tap tables of the window images, built ONCE
+        # per KF insert (interp.build_quad); every per-KF device program
+        # (window GN, activation) consumes these instead of rebuilding its
+        # own (~20 ms per F-image build at KITTI-class shapes)
+        self.quads = jnp.zeros(
+            (self.F, self.H_img * self.W_img, 12), _interp.QUAD_DTYPE)
         self.jstore = self._empty_jstore()
         self.ad_host = np.zeros((self.F, self.F, 8, 8))
         self.ad_target = np.zeros((self.F, self.F, 8, 8))
@@ -145,7 +152,8 @@ class WindowOptimizer:
         self.frames.append(fs)
         # traced index: ONE compiled scatter serves every slot (a python
         # int would bake the index and compile per window position)
-        self.images = _set_image_slot(self.images, jnp.int32(idx), dI0)
+        self.images, self.quads = _set_image_slot(
+            self.images, self.quads, jnp.int32(idx), dI0)
         self.insert_frame_hm()
         self.set_adjoints()
         return idx
@@ -847,7 +855,8 @@ class WindowOptimizer:
         perm = jnp.asarray(
             list(range(idx)) + list(range(idx + 1, self.F)) + [idx]
         )
-        self.jstore, self.images = _permute_stores(self.jstore, self.images, perm)
+        self.jstore, self.images, self.quads = _permute_stores(
+            self.jstore, self.images, self.quads, perm)
         self.pts.shift_frame_down(idx, nf - 1)
         if getattr(self, "_r_energy_dev", None) is not None:
             self._r_energy_dev = _permute_cols(self._r_energy_dev, perm)
@@ -855,15 +864,20 @@ class WindowOptimizer:
 
 
 @jax.jit
-def _set_image_slot(images, idx, dI0):
-    return jax.lax.dynamic_update_index_in_dim(images, dI0, idx, 0)
+def _set_image_slot(images, quads, idx, dI0):
+    """Write one image slot AND its quad-tap table in one dispatch (the
+    quad is built once here, then reused by every per-KF program)."""
+    q = _interp.build_quad(dI0)
+    return (jax.lax.dynamic_update_index_in_dim(images, dI0, idx, 0),
+            jax.lax.dynamic_update_index_in_dim(quads, q, idx, 0))
 
 
 @jax.jit
-def _permute_stores(jstore, images, perm):
-    """Frame-column permute of the FEJ store + image-slot permute, fused
-    into one device program (marginalizeFrame compaction)."""
-    return {k: v[:, perm] for k, v in jstore.items()}, images[perm]
+def _permute_stores(jstore, images, quads, perm):
+    """Frame-column permute of the FEJ store + image/quad-slot permute,
+    fused into one device program (marginalizeFrame compaction)."""
+    return ({k: v[:, perm] for k, v in jstore.items()}, images[perm],
+            quads[perm])
 
 
 @jax.jit
@@ -1153,6 +1167,7 @@ def _wo_optimize_device(self, max_iters: int) -> float:
             self.images, self.jstore, jnp.asarray(flat_in),
             jnp.asarray(flat_u8), pts_static, r_energy,
             jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+            self.quads,
         )
         jst, ren, cen = out["jstore"], out["res"]["energy"], out["center_newest"]
     else:
@@ -1162,6 +1177,7 @@ def _wo_optimize_device(self, max_iters: int) -> float:
             self.images, self.jstore, jnp.asarray(flat_in),
             jnp.asarray(flat_u8), jnp.asarray(idx), pts_static, r_energy,
             jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+            self.quads,
         )
         jst, ren, cen = out["jstore"], out["r_energy"], out["center_newest"]
     t2 = time.perf_counter()
@@ -1306,7 +1322,7 @@ def _wo_precompile(self):
     out = self._dev_opt.flat(
         self.images, self.jstore, jnp.asarray(fl0), jnp.asarray(u80),
         _wo_pts_static(self),
-        jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0),
+        jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0), self.quads,
     )
     # warm every compaction bucket the run can pick (each is its own
     # compiled program; a cold one landing mid-run costs seconds)
@@ -1319,7 +1335,7 @@ def _wo_precompile(self):
         outs_c.append(fn(
             self.images, self.jstore, jnp.asarray(flc), jnp.asarray(u8c),
             jnp.full(b, P, jnp.int32), _wo_pts_static(self),
-            jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0),
+            jnp.zeros((P, F), f32), jnp.int32(1), jnp.int32(0), self.quads,
         ))
     # warm the (single) static-store scatter shape
     B = _PTS_SCATTER_CHUNK
@@ -1341,12 +1357,12 @@ def _wo_precompile(self):
         marg.copy_to_host_async()
     except AttributeError:
         pass
-    ins = _set_image_slot(self.images, jnp.int32(0),
+    ins = _set_image_slot(self.images, self.quads, jnp.int32(0),
                           jnp.zeros(self.images.shape[1:], jnp.float32))
     perm = jnp.asarray(list(range(F)))
-    js, im = _permute_stores(self.jstore, self.images, perm)
+    js, im, qd = _permute_stores(self.jstore, self.images, self.quads, perm)
     re_ = _permute_cols(jnp.zeros((P, F), f32), perm)
-    jax.block_until_ready((out, outs_c, marg, js, im, re_, ins))
+    jax.block_until_ready((out, outs_c, marg, js, im, qd, re_, ins))
 
 
 WindowOptimizer.precompile = _wo_precompile

@@ -72,6 +72,11 @@ class Settings:
     init_height: float = -1.0
     scale_fix: bool = False
     plane_optimize: bool = True     # setPlaneOptimize
+    # GN budget of the post-rescale photometric re-opt (the reference's
+    # Ceres SWGrayOptimize_J runs 50 iterations with Huber(100),
+    # PlaneOptimize.cpp:307-454; the window GN converges in far fewer --
+    # A/B'd on the 350-frame NALO parity harness, docs/PARITY.md)
+    plane_reopt_iters: int = 3
     dense_mapping: bool = False     # denseMapping
     tsdf: bool = False              # setting_tsdf
 
@@ -282,6 +287,8 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
             # scale_fix is RUNTIME state (locks when the ground height
             # stabilizes); planeOpt only enables the pipeline
             s = s.replace(plane_optimize=bool(int(v)))
+        elif k == "planeReoptIters":
+            s = s.replace(plane_reopt_iters=int(v))
         elif k == "densemap":
             s = s.replace(dense_mapping=bool(int(v)))
         elif k == "tsdf":

@@ -352,6 +352,7 @@ def _activate_core(
     calib,
     min_idepth_h_act: float,
     iters: int, huber_th: float, w_img: int, h_img: int,
+    images_quad=None,              # optional prebuilt (F, H*W, 12) tables
 ):
     """Batched optimizeImmaturePoint: idepth-only LM over all other frames.
 
@@ -377,10 +378,13 @@ def _activate_core(
         axis=-1,
     )  # (N, 8, 3)
 
-    # one (f16) quad-tap table per frame, shared by every LM evaluation
-    # (build_quad hoisting + bandwidth notes in ops/interp.py)
+    # one quad-tap table per frame, shared by every LM evaluation
+    # (build_quad hoisting + bandwidth notes in ops/interp.py); callers
+    # holding the window's device-resident quad store pass it in and skip
+    # the build entirely
     H_img, W_img = images.shape[1], images.shape[2]
-    images_quad = jax.vmap(build_quad)(images)
+    if images_quad is None:
+        images_quad = jax.vmap(build_quad)(images)
 
     def energy_Hb(idepth):
         ptp = (
@@ -692,7 +696,7 @@ def activation_run(static, trace, images,
                    PRE_R, PRE_t, PRE_aff, f_act, calib, min_idepth_h_act,
                    F: int, M: int, C: int, A: int, h1: int, w1: int,
                    dm_iters: int, iters: int, huber_th: float,
-                   w_img: int, h_img: int):
+                   w_img: int, h_img: int, images_quad=None):
     """The ENTIRE activatePointsMT as one device program with one pull
     (reference FullSystem.cpp:764-934 + FullSystemOptPoint.cpp): candidate
     gating + distance map (_activation_prep_core), the greedy spacing loop
@@ -794,7 +798,8 @@ def activation_run(static, trace, images,
     packed = _activate_core(
         images, u_a, v_a, col_a, wgt_a, id0_a, host_a, eth_a,
         PRE_R, PRE_t, PRE_aff, f_act, calib, min_idepth_h_act,
-        iters=iters, huber_th=huber_th, w_img=w_img, h_img=h_img)
+        iters=iters, huber_th=huber_th, w_img=w_img, h_img=h_img,
+        images_quad=images_quad)
     packed = jnp.where(asel[:, None], packed, 0.0)
 
     # consume the optimized candidates (activated or failed) on device

@@ -319,7 +319,7 @@ class FullSystem:
             jnp.asarray(self.window.calib_value, f32), s.min_idepth_h_act,
             F=F, M=M, C=4096, A=2048, h1=h1, w1=w1, dm_iters=40,
             iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
-            w_img=w0, h_img=h0)
+            w_img=w0, h_img=h0, images_quad=self.window.quads)
         outs.append(out_act[0])
         # immature-store maintenance programs
         st = ImmatureStore(M)
@@ -949,6 +949,11 @@ class FullSystem:
         self._stage_ms["act_dispatch"] = 1000.0 * (t1 - t0)
         self._stage_ms["act_wait"] = 1000.0 * (t3 - t1)
         self._stage_ms["act_adopt"] = 1000.0 * (t4 - t3)
+        # candidate/acceptance counts (sizes the fused act->GN path and
+        # feeds the drift forensics: a drop in activation under
+        # brightness drift starves the window)
+        self.metrics.bump("act_candidates", int(flat_np[0]))
+        self.metrics.bump("act_accepted", int(flat_np[1]))
         self._stage_ms["activate"] = (
             self._stage_ms.get("activate", 0.0)
             + 1000.0 * (time.perf_counter() - t0))
@@ -1076,10 +1081,21 @@ class FullSystem:
             with self._stage("plane"):
                 if not self.global_plane.fixed:
                     gps = [getattr(f, "groundP", np.zeros(4)) for f in self.window.frames]
-                    self.global_plane.set_global_plane(self.window.frames, gps, s.max_frames)
+                    if self.global_plane.set_global_plane(
+                            self.window.frames, gps, s.max_frames):
+                        self.metrics.log("plane_lock", kf=fs_n.frame_id,
+                                         lgh=round(self.global_plane.lgh, 5))
                 if self.ground_state.scale_fix and self.global_plane.fixed:
-                    plane_optimize(self.window, self.global_plane.lgh, fs_n.groundP)
-                    sw_gray_optimize(self.window, iters=3)
+                    sc = plane_optimize(self.window, self.global_plane.lgh,
+                                        fs_n.groundP)
+                    rm = sw_gray_optimize(self.window,
+                                          iters=s.plane_reopt_iters)
+                    self.metrics.log(
+                        "plane_opt", kf=fs_n.frame_id,
+                        scale=round(float(sc), 6),
+                        lgh=round(self.global_plane.lgh, 5),
+                        gp3=round(float(fs_n.groundP[3]), 5),
+                        rmse=round(float(rm), 4))
 
         with self._stage("marg_points"):
             with self._stage("marg_flag"):
@@ -1320,6 +1336,7 @@ class FullSystem:
             h1=self.calib.h[1], w1=self.calib.w[1], dm_iters=40,
             iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
             w_img=self.calib.w[0], h_img=self.calib.h[0],
+            images_quad=w.quads,
         )
         return flat_dev, new_valid
 
@@ -1511,6 +1528,20 @@ class FullSystem:
             if res_df is not None:
                 fs_new.haveground = res_df["have_ground"]
                 fs_new.groundP = np.asarray(res_df["groundP"])
+                # drift forensics: the per-KF ground estimate + the
+                # scale-fix state machine's verdict (accepted planes drive
+                # the plane_optimize rescale; a biased height here rescales
+                # the whole trajectory)
+                gs = self.ground_state
+                self.metrics.log(
+                    "ground", kf=fs_new.frame_id,
+                    height=round(float(res_df["ground_height"]), 5),
+                    have_ground=bool(res_df["have_ground"]),
+                    scale_fix=bool(gs.scale_fix),
+                    init_height=round(float(gs.init_height), 5),
+                    rate=round(float(res_df["ground_height"] / gs.init_height), 5)
+                    if gs.scale_fix and gs.init_height > 0 else None,
+                )
                 if res_df["dense"] is not None:
                     ddu, ddv, ddid, _ddc = res_df["dense"]
                     n = min(len(ddu), D)

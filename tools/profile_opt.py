@@ -87,14 +87,15 @@ def main():
                 out = wo._dev_opt.flat(
                     wo.images, wo.jstore, jnp.asarray(flat_in),
                     jnp.asarray(flat_u8), pts_static, r_energy,
-                    jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]))
+                    jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+                    wo.quads)
             else:
                 fn = D.make_device_optimizer_compact(wo.s, wo.F, wo.P,
                                                      meta["P_eff"])
                 out = fn(wo.images, wo.jstore, jnp.asarray(flat_in),
                          jnp.asarray(flat_u8), jnp.asarray(idx), pts_static,
                          r_energy, jnp.int32(meta["max_iters"]),
-                         jnp.int32(meta["newest"]))
+                         jnp.int32(meta["newest"]), wo.quads)
             flat = np.asarray(out["flat"])
             ts.append(1000 * (time.perf_counter() - t0))
         print(f"GN max_iters={it}: P_eff={meta['P_eff']} "
