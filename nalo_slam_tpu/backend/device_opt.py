@@ -668,6 +668,73 @@ def scatter_pts_static(dev, idx, u, v, color, weights, energy_th):
     )
 
 
+def _merge_activation(pts, res, r_energy, act_flat, imm, act_pos, F, M, P_eff):
+    """Adopt an activation program's results into the (unflattened) GN
+    inputs ON DEVICE -- the overlapped keyframe path (full_system
+    `overlap_activation`): the host dispatches activation, immediately
+    dispatches the GN with this merge prepended, and does its mirror
+    bookkeeping while both run; the ~30 ms activation pull round-trip
+    leaves the KF critical path.
+
+    act_flat: activation_run's flat output [n_cand, n_acc | valid(F*M) |
+    slot_a(A) | packed(A*(2+F))].  imm: the device-resident immature
+    static store (u/v/color/weights/energy_th, all (F*M,)-shaped).
+    act_pos: (A,) int32 -- target ROW for the r-th accepted candidate in
+    the *rank-by-host* order, padded with P_eff beyond the assignable
+    budget.  The rank ordering reproduces the host adopt's slot
+    assignment exactly (host-frame groups in slot order), so the merged
+    GN inputs are bit-identical to the sequential adopt-then-dispatch
+    path (pinned by tests/test_overlap_act.py)."""
+    A = act_pos.shape[0]
+    o = 2 + F * M
+    slot_a = jax.lax.dynamic_slice(act_flat, (o,), (A,))
+    packed = jax.lax.dynamic_slice(act_flat, (o + A,), (A * (2 + F),)
+                                   ).reshape(A, 2 + F)
+    ok = (slot_a >= 0) & (packed[:, 1] > 0.5)
+    sidx = jnp.clip(slot_a.astype(jnp.int32), 0, F * M - 1)
+    host_a = sidx // M
+    # rank accepted candidates by host frame (stable): rank r -> the r-th
+    # free slot, matching the host's per-host-group insert order
+    key = jnp.where(ok, host_a, F)
+    order = jnp.argsort(key, stable=True)
+    rank_of = jnp.zeros(A, jnp.int32).at[order].set(
+        jnp.arange(A, dtype=jnp.int32))
+    tgt = jnp.where(ok, act_pos[jnp.clip(rank_of, 0, A - 1)], P_eff)
+
+    idepth_n = packed[:, 0]
+    pts2 = dict(
+        pts,
+        idepth=pts["idepth"].at[tgt].set(idepth_n, mode="drop"),
+        idepth_zero=pts["idepth_zero"].at[tgt].set(idepth_n, mode="drop"),
+        prior=pts["prior"].at[tgt].set(0.0, mode="drop"),
+        idepth_hessian=pts["idepth_hessian"].at[tgt].set(0.0, mode="drop"),
+        active=pts["active"].at[tgt].set(True, mode="drop"),
+        host=pts["host"].at[tgt].set(host_a, mode="drop"),
+        u=pts["u"].at[tgt].set(imm["u"][sidx], mode="drop"),
+        v=pts["v"].at[tgt].set(imm["v"][sidx], mode="drop"),
+        color=pts["color"].at[tgt].set(imm["color"][sidx], mode="drop"),
+        weights=pts["weights"].at[tgt].set(imm["weights"][sidx], mode="drop"),
+        energy_th=pts["energy_th"].at[tgt].set(imm["energy_th"][sidx],
+                                               mode="drop"),
+    )
+    # residual wiring (energy.add_residuals): exists+IN to every window
+    # frame the activation LM kept (already masked to active != host
+    # targets in _activate_core's tgt_ok)
+    res_in = packed[:, 2:] > 0.5
+    res2 = dict(
+        res,
+        exists=res["exists"].at[tgt].set(res_in, mode="drop"),
+        state=res["state"].at[tgt].set(
+            jnp.where(res_in, RES_IN, RES_NONE), mode="drop"),
+        active=res["active"].at[tgt].set(False, mode="drop"),
+        linearized=res["linearized"].at[tgt].set(False, mode="drop"),
+        energy=res["energy"].at[tgt].set(0.0, mode="drop"),
+    )
+    r_energy2 = r_energy.at[tgt].set(0.0, mode="drop")
+    res2["energy"] = r_energy2
+    return pts2, res2, r_energy2
+
+
 def make_device_optimizer_fused(settings, F: int, P: int):
     """optimize() + eval-point reset + linearizeAll(true) as ONE program.
 
@@ -886,6 +953,66 @@ def make_device_optimizer_fused(settings, F: int, P: int):
     optimize.flat = optimize_flat
     _FUSED_CACHE[key] = (settings, optimize)
     return optimize
+
+
+_ACT_GN_CACHE: dict = {}
+
+
+def make_gn_with_activation(settings, F: int, P: int, M: int,
+                            P_eff: int | None = None):
+    """GN entry point with the device-side activation merge prepended
+    (the overlapped keyframe path).  P_eff=None -> full-P program;
+    otherwise the active-slot-compacted variant (same contract as
+    make_device_optimizer_compact, with the activation merge applied
+    AFTER the compaction gather at host-provided compact positions)."""
+    key = (id(settings), F, P, M, P_eff)
+    hit = _ACT_GN_CACHE.get(key)
+    if hit is not None and hit[0] is settings:
+        return hit[1]
+    if P_eff is None:
+        inner = make_device_optimizer_fused(settings, F, P)
+
+        @jax.jit
+        def run(images, jstore, flat_in, flat_u8, pts_static, r_energy,
+                max_iters, newest, images_quad, act_flat, imm, act_pos):
+            pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
+                flat_in, flat_u8, pts_static, r_energy, F, P)
+            pts2, res2, r_energy2 = _merge_activation(
+                pts, res, r_energy, act_flat, imm, act_pos, F, M, P)
+            return inner(images, pts2, res2, jstore, states0, calib0,
+                         f_eth0, inp, max_iters, newest, images_quad)
+    else:
+        inner = make_device_optimizer_fused(settings, F, P_eff)
+
+        @jax.jit
+        def run(images, jstore_full, flat_in, flat_u8, idx,
+                pts_static_full, r_energy_full, max_iters, newest,
+                images_quad, act_flat, imm, act_pos):
+            def take(a):
+                return jnp.take(a, idx, axis=0, mode="fill", fill_value=0)
+
+            pts_static = {k: take(v) for k, v in pts_static_full.items()}
+            jstore = {k: take(v) for k, v in jstore_full.items()}
+            r_energy = take(r_energy_full)
+            pts, res, states0, calib0, f_eth0, inp = _gn_unflatten(
+                flat_in, flat_u8, pts_static, r_energy, F, P_eff)
+            pts2, res2, r_energy2 = _merge_activation(
+                pts, res, r_energy, act_flat, imm, act_pos, F, M, P_eff)
+            out = inner(images, pts2, res2, jstore, states0, calib0,
+                        f_eth0, inp, max_iters, newest, images_quad)
+            jstore2 = {k: jstore_full[k].at[idx].set(out["jstore"][k],
+                                                     mode="drop")
+                       for k in jstore_full}
+            r_energy2 = r_energy_full.at[idx].set(out["res"]["energy"],
+                                                  mode="drop")
+            cn = out["center_newest"]
+            center = jnp.zeros((P,) + cn.shape[1:], cn.dtype).at[idx].set(
+                cn, mode="drop")
+            return dict(flat=out["flat"], jstore=jstore2,
+                        r_energy=r_energy2, center_newest=center)
+
+    _ACT_GN_CACHE[key] = (settings, run)
+    return run
 
 
 _COMPACT_CACHE: dict = {}

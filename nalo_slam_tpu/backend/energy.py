@@ -1097,7 +1097,8 @@ def _wo_gn_bucket(self, n_live: int) -> int:
     return self.P
 
 
-def _wo_gn_prepare(self, max_iters: int, bucket: int | None = None):
+def _wo_gn_prepare(self, max_iters: int, bucket: int | None = None,
+                   assigned_rows=None):
     # the device GN skips the L-system accumulation on the strength of
     # this invariant (see device_opt.solve_iteration)
     assert not self.pts.r_linearized.any(), (
@@ -1129,15 +1130,23 @@ def _wo_gn_prepare(self, max_iters: int, bucket: int | None = None):
     # every per-point op in the GN program scales with the slot count, and
     # only the slots with residuals (or an active flag) participate
     live = self.pts.r_exists.any(1) | self.pts.active
-    rows = np.nonzero(live)[0].astype(np.int64)
+    rows_live = np.nonzero(live)[0].astype(np.int64)
     # the fused tail relinearizes ONLY the target==newest column on the
     # strength of this invariant: the just-inserted keyframe hosts no
     # points yet (its immature points are created after its own
     # makeKeyFrame), so the newest eval-point shift + f_eth update can
     # only affect residuals TARGETING it (device_opt fused-tail note)
-    assert not (self.pts.host[rows] == newest).any(), (
+    assert not (self.pts.host[rows_live] == newest).any(), (
         "live point hosted in the newest frame; the column-restricted "
         "final relinearize in the fused GN tail would be stale")
+    if assigned_rows is not None and len(assigned_rows):
+        # overlapped-activation path: the pre-assigned (still-free) target
+        # slots ride along so the in-program merge can populate them; a
+        # sorted union keeps the compact row order identical to what the
+        # sequential adopt-then-dispatch path would produce
+        rows = np.union1d(rows_live, np.asarray(assigned_rows, np.int64))
+    else:
+        rows = rows_live
     P_eff = bucket if bucket is not None else _wo_gn_bucket(self, len(rows))
     if P_eff >= self.P:
         P_eff = self.P
@@ -1193,6 +1202,79 @@ def _wo_optimize_device(self, max_iters: int) -> float:
         stage["opt_wait"] = 1000.0 * (t3 - t2)
         stage["opt_adopt"] = 1000.0 * (time.perf_counter() - t3)
     return rmse
+
+
+def _wo_gn_dispatch_overlapped(self, max_iters: int, act_flat_dev,
+                               imm_static, assigned_slots, act_A: int):
+    """Dispatch the window GN with the device-side activation merge
+    (device_opt.make_gn_with_activation) WITHOUT waiting for the
+    activation pull: the host pre-assigns the free point slots the
+    accepted candidates will land in, the program gathers their static
+    rows from the immature store and wires their residuals on device,
+    and the caller overlaps its mirror bookkeeping (from the activation
+    flat, whose D2H completes as soon as the activation program finishes
+    — while this GN is still computing) with the GN's device time.
+
+    Returns (out, meta); finish with gn_finish(out, meta)."""
+    t0 = time.perf_counter()
+    n_assign = len(assigned_slots)
+    flat_in, flat_u8, idx, pts_static, r_energy, meta = _wo_gn_prepare(
+        self, max_iters, assigned_rows=assigned_slots)
+    # compact positions of the r-th assigned slot (rank order); full-P
+    # path: the slot ids themselves
+    if idx is None:
+        sentinel = self.P
+        pos = np.asarray(assigned_slots, np.int32)
+        fn = D.make_gn_with_activation(
+            self.s, self.F, self.P, self.s.max_immature_per_frame)
+        args = (self.images, self.jstore, jnp.asarray(flat_in),
+                jnp.asarray(flat_u8), pts_static, r_energy)
+    else:
+        sentinel = meta["P_eff"]
+        pos = np.searchsorted(meta["live_rows"],
+                              np.asarray(assigned_slots)).astype(np.int32)
+        fn = D.make_gn_with_activation(
+            self.s, self.F, self.P, self.s.max_immature_per_frame,
+            meta["P_eff"])
+        args = (self.images, self.jstore, jnp.asarray(flat_in),
+                jnp.asarray(flat_u8), jnp.asarray(idx), pts_static,
+                r_energy)
+    # pad the rank->row table to the activation program's A capacity with
+    # drop sentinels (rank >= n_assign -> dropped by the merge scatter)
+    pos_full = np.full(act_A, sentinel, np.int32)
+    pos_full[:n_assign] = pos
+    t1 = time.perf_counter()
+    out = fn(*args, jnp.int32(meta["max_iters"]), jnp.int32(meta["newest"]),
+             self.quads, act_flat_dev, imm_static, jnp.asarray(pos_full))
+    meta["assigned_slots"] = np.asarray(assigned_slots)
+    meta["n_assign"] = n_assign
+    stage = getattr(self, "stage_ms", None)
+    if stage is not None:
+        stage["opt_prepare"] = 1000.0 * (t1 - t0)
+        stage["opt_dispatch"] = 1000.0 * (time.perf_counter() - t1)
+    return out, meta
+
+
+def _wo_gn_finish(self, out, meta) -> float:
+    """Blocking pull + adopt of a previously dispatched GN program."""
+    t2 = time.perf_counter()
+    flat_np = np.asarray(out["flat"])
+    t3 = time.perf_counter()
+    if "r_energy" in out:
+        jst, ren, cen = out["jstore"], out["r_energy"], out["center_newest"]
+    else:
+        jst, ren, cen = (out["jstore"], out["res"]["energy"],
+                         out["center_newest"])
+    rmse = _wo_gn_adopt(self, flat_np, jst, ren, cen, meta)
+    stage = getattr(self, "stage_ms", None)
+    if stage is not None:
+        stage["opt_wait"] = stage.get("opt_wait", 0.0) + 1000.0 * (t3 - t2)
+        stage["opt_adopt"] = 1000.0 * (time.perf_counter() - t3)
+    return rmse
+
+
+WindowOptimizer.gn_dispatch_overlapped = _wo_gn_dispatch_overlapped
+WindowOptimizer.gn_finish = _wo_gn_finish
 
 
 def _wo_gn_adopt(self, flat, jstore_dev, r_energy_dev, center_dev, meta):

@@ -72,6 +72,13 @@ class Settings:
     init_height: float = -1.0
     scale_fix: bool = False
     plane_optimize: bool = True     # setPlaneOptimize
+    # overlapped keyframe path: adopt activation results into the point
+    # store ON DEVICE and dispatch the window GN before pulling the
+    # activation flat, hiding the activation pull round-trip + host adopt
+    # behind the GN's device time (full_system._kf_pre_overlapped).
+    # Equivalent to the sequential path by construction (rank-ordered slot
+    # assignment; tests/test_overlap_act.py pins it); overlapAct=0 reverts.
+    overlap_activation: bool = True
     # GN budget of the post-rescale photometric re-opt (the reference's
     # Ceres SWGrayOptimize_J runs 50 iterations with Huber(100),
     # PlaneOptimize.cpp:307-454; the window GN converges in far fewer --
@@ -289,6 +296,8 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
             s = s.replace(plane_optimize=bool(int(v)))
         elif k == "planeReoptIters":
             s = s.replace(plane_reopt_iters=int(v))
+        elif k == "overlapAct":
+            s = s.replace(overlap_activation=bool(int(v)))
         elif k == "densemap":
             s = s.replace(dense_mapping=bool(int(v)))
         elif k == "tsdf":

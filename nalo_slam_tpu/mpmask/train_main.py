@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--crop-w", type=int, default=1216)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--tiny", action="store_true", help="tiny config (tests)")
+    ap.add_argument("--log", default=None,
+                    help="jsonl training-curve stream (step, silog, it/s)")
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() for multi-host DCN")
     args = ap.parse_args(argv)
@@ -62,6 +64,7 @@ def main(argv=None):
 
     step = 0
     t0 = time.time()
+    logf = open(args.log, "a") if args.log else None
     with jax.sharding.set_mesh(mesh):
         while step < args.steps:
             for imgs, gts in ds.batches(args.batch):
@@ -70,13 +73,22 @@ def main(argv=None):
                     jnp.asarray(imgs), jnp.asarray(gts),
                 )
                 step += 1
-                if step % 10 == 0:
+                if step % 10 == 0 or step == 1:
+                    rate = step / (time.time() - t0)
                     print(f"step {step}: silog {float(loss):.4f} "
-                          f"({step / (time.time() - t0):.2f} it/s)", flush=True)
+                          f"({rate:.2f} it/s)", flush=True)
+                    if logf:
+                        import json as _json
+                        logf.write(_json.dumps(dict(
+                            step=step, silog=round(float(loss), 5),
+                            it_per_s=round(rate, 3))) + "\n")
+                        logf.flush()
                 if step % args.ckpt_every == 0 or step >= args.steps:
                     save_checkpoint(args.ckpt, params, stats, step)
                 if step >= args.steps:
                     break
+    if logf:
+        logf.close()
     return 0
 
 

@@ -920,12 +920,211 @@ class FullSystem:
         """makeKeyFrame split at the window-GN boundary so a
         multi-sequence executor can batch several sequences' BA into one
         vmapped device call (parallel/multiseq.py)."""
-        ctx = self._kf_pre(frame)
         s = self.s
+        if s.use_device_opt and s.overlap_activation:
+            ctx = self._kf_pre_overlapped(frame)
+            if ctx.get("gn") is not None:
+                out, meta = ctx["gn"]
+                with self._stage("optimize"):
+                    rmse = self.window.gn_finish(out, meta)
+                self._activate_overflow_repair(ctx)
+                return self._kf_post(ctx, rmse)
+            # no activation this KF: plain GN
+            with self._stage("optimize"):
+                rmse = self.window.optimize_device(s.max_opt_iterations)
+            return self._kf_post(ctx, rmse)
+        ctx = self._kf_pre(frame)
         with self._stage("optimize"):
             rmse = (self.window.optimize_device(s.max_opt_iterations)
                     if s.use_device_opt else self.window.optimize(s.max_opt_iterations))
         return self._kf_post(ctx, rmse)
+
+    def _kf_pre_overlapped(self, frame):
+        """makeKeyFrame front half, overlapped flavor: dispatch the
+        activation program, PRE-ASSIGN the free point slots its accepted
+        candidates will occupy, dispatch the window GN with the
+        device-side activation merge (device_opt.make_gn_with_activation)
+        -- and only THEN pull the activation flat (its D2H completes as
+        soon as the activation program finishes, while the GN is still
+        computing) and do the host mirror bookkeeping during the GN's
+        device time.  Removes the ~30 ms activation pull round trip (and
+        the host adopt) from the keyframe critical path."""
+        s = self.s
+        st = self._kf_stage1(frame)
+        nt_pre = [_AsyncHost(lambda: self._new_traces_host(frame))]
+        prep = self._activate_prepare_timed()
+        ctx = self._kf_finish(st, nt_pre)
+        ctx["gn"] = None
+        if prep is None or self.window.n_frames < 2:
+            return ctx
+        t0 = time.perf_counter()
+        flat_dev, new_valid = self._activate_dispatch(prep)
+        t1 = time.perf_counter()
+        budget = self._act_assign_budget()
+        assigned = self.window.pts.free_slots(budget)
+        imm = {k: self.imm_static[k]
+               for k in ("u", "v", "color", "weights", "energy_th")}
+        out, meta = self.window.gn_dispatch_overlapped(
+            s.max_opt_iterations, flat_dev, imm, assigned, self._ACT_A)
+        t2 = time.perf_counter()
+        flat_np = np.asarray(flat_dev)   # ready when activation finishes
+        t3 = time.perf_counter()
+        overflow = self._activate_adopt_assigned(prep, flat_np, new_valid,
+                                                 assigned, meta)
+        t4 = time.perf_counter()
+        self._stage_ms["act_dispatch"] = 1000.0 * (t1 - t0)
+        self._stage_ms["act_wait"] = 1000.0 * (t3 - t2)
+        self._stage_ms["act_adopt"] = 1000.0 * (t4 - t3)
+        self._stage_ms["activate"] = 1000.0 * (t4 - t0) - 1000.0 * (t2 - t1)
+        self.metrics.bump("act_candidates", int(flat_np[0]))
+        self.metrics.bump("act_accepted", int(flat_np[1]))
+        ctx["gn"] = (out, meta)
+        ctx["act_overflow"] = overflow
+        return ctx
+
+    def _act_assign_budget(self) -> int:
+        """Slot budget pre-assigned to the overlapped activation merge:
+        2x the last acceptance (pow2, floor 256), capped at the
+        activation program's A.  Overflow (rare) is repaired after the
+        GN: those points are inserted late and miss one GN round."""
+        last = getattr(self, "_last_n_acc", None)
+        if last is None:
+            return self._ACT_A
+        b = 256
+        while b < 2 * last + 64 and b < self._ACT_A:
+            b *= 2
+        return min(b, self._ACT_A)
+
+    def _activate_adopt_assigned(self, prep, flat, new_valid, assigned,
+                                 meta):
+        """Host-mirror half of the overlapped activation adopt: replicate
+        EXACTLY what the device merge did (rank-by-host slot assignment
+        into `assigned`), without free_slots allocation or the static
+        scatter queue-for-this-GN (the merge already wrote the program's
+        copy; the canonical store update rides the normal pending-scatter
+        at the NEXT GN prepare).  Returns the overflow candidates (rank
+        >= len(assigned)) for post-GN repair insertion."""
+        s = self.s
+        w = self.window
+        p = w.pts
+        nf = prep["nf"]
+        M = s.max_immature_per_frame
+        Fd = F = w.F
+        A = self._ACT_A
+        self.imm_static = dict(self.imm_static, valid=new_valid)
+        o = 2
+        n_acc = min(int(flat[1]), A)
+        self._last_n_acc = n_acc
+        validf = flat[o:o + Fd * M] > 0.5
+        o += Fd * M
+        slot_a = flat[o:o + A].astype(np.int64); o += A
+        packed_act = flat[o:o + A * (2 + F)].reshape(A, 2 + F)
+        for h in range(nf):
+            self.immatures[h].valid = validf[h * M:(h + 1) * M].copy()
+        ok = (slot_a >= 0) & (packed_act[:, 1] > 0.5)
+        if not ok.any():
+            return None
+        sidx = np.clip(slot_a, 0, F * M - 1)
+        hosts = (sidx // M).astype(np.int32)
+        # rank-by-host stable order == the device merge's assignment
+        key = np.where(ok, hosts, F)
+        order = np.argsort(key, kind="stable")
+        rank_of = np.zeros(A, np.int64)
+        rank_of[order] = np.arange(A)
+        n_assign = len(assigned)
+        take = ok & (rank_of < n_assign)
+        kk = np.nonzero(take)[0]
+        sl = np.asarray(assigned)[rank_of[kk]]
+        hh = hosts[kk]
+        jj = (sidx[kk] % M).astype(np.int64)
+        imm_u = np.stack([st.u for st in self.immatures[:nf]])
+        imm_v = np.stack([st.v for st in self.immatures[:nf]])
+        imm_col = np.stack([st.color for st in self.immatures[:nf]])
+        imm_wgt = np.stack([st.weights for st in self.immatures[:nf]])
+        imm_eth = np.stack([st.energy_th for st in self.immatures[:nf]])
+        imm_mty = np.stack([st.my_type for st in self.immatures[:nf]])
+        hc = np.clip(hh, 0, nf - 1)
+        # insert_points body at predetermined slots
+        p.active[sl] = True
+        p.host[sl] = hh
+        p.u[sl] = imm_u[hc, jj]
+        p.v[sl] = imm_v[hc, jj]
+        p.color[sl] = imm_col[hc, jj]
+        p.weights[sl] = imm_wgt[hc, jj]
+        p.idepth[sl] = packed_act[kk, 0].astype(np.float32)
+        p.idepth_zero[sl] = packed_act[kk, 0].astype(np.float32)
+        p.energy_th[sl] = imm_eth[hc, jj]
+        p.prior[sl] = 0.0
+        p.has_depth_prior[sl] = False
+        p.num_good_res[sl] = 0
+        p.max_rel_baseline[sl] = 0
+        p.status[sl] = 0
+        p.last_res_state[sl] = RES_OOB
+        p.my_type[sl] = imm_mty[hc, jj]
+        res_in = packed_act[kk, 2:] > 0.5
+        p.r_exists[sl] = res_in
+        p.r_state[sl] = np.where(res_in, RES_IN, RES_NONE).astype(np.int8)
+        p.r_active[sl] = False
+        p.r_linearized[sl] = False
+        p.r_is_new[sl] = res_in
+        newest_i = nf - 1
+        p.last_res_state[sl, 0] = np.where(res_in[:, newest_i], RES_IN,
+                                           RES_OOB)
+        if nf >= 2:
+            p.last_res_state[sl, 1] = np.where(res_in[:, nf - 2], RES_IN,
+                                               RES_OOB)
+        # canonical device static store: ride the normal pending scatter
+        # (flushed by the NEXT GN prepare; THIS GN got them via the merge)
+        if getattr(w, "_pts_static_dev", None) is not None:
+            w._pts_static_pending.append(np.asarray(sl))
+        # fix-time bookkeeping needs the new rows in active_pre
+        meta["active_pre"][sl] = res_in
+        self.statistics["n_points_activated"] += len(sl)
+        # overflow: accepted but beyond the assigned budget
+        kk_over = np.nonzero(ok & (rank_of >= n_assign))[0]
+        if len(kk_over) == 0:
+            return None
+        self.metrics.bump("act_assign_overflow", len(kk_over))
+        hco = np.clip(hosts[kk_over], 0, nf - 1)
+        jjo = (sidx[kk_over] % M).astype(np.int64)
+        return dict(
+            hosts=hosts[kk_over], idepth=packed_act[kk_over, 0],
+            res_in=packed_act[kk_over, 2:] > 0.5,
+            u=imm_u[hco, jjo], v=imm_v[hco, jjo], color=imm_col[hco, jjo],
+            weights=imm_wgt[hco, jjo], eth=imm_eth[hco, jjo],
+            mty=imm_mty[hco, jjo], nf=nf)
+
+    def _activate_overflow_repair(self, ctx):
+        """Insert activation candidates that exceeded the pre-assigned
+        budget (rare): they join the window AFTER this KF's GN, i.e. one
+        optimization round late, instead of being dropped."""
+        ov = ctx.get("act_overflow")
+        if ov is None:
+            return
+        w = self.window
+        p = w.pts
+        nf = ov["nf"]
+        for hh in range(nf):
+            m = ov["hosts"] == hh
+            if not m.any():
+                continue
+            slots = w.insert_points(
+                hh, ov["u"][m], ov["v"][m], ov["color"][m],
+                ov["weights"][m], ov["idepth"][m], ov["eth"][m],
+                my_type=ov["mty"][m])
+            tgt_lists = ov["res_in"][m][: len(slots)]
+            for tt in range(nf):
+                if tt == hh:
+                    continue
+                tsel = slots[tgt_lists[:, tt]]
+                if len(tsel) == 0:
+                    continue
+                w.add_residuals(tsel, tt)
+                if tt == nf - 1:
+                    p.last_res_state[tsel, 0] = RES_IN
+                elif tt == nf - 2:
+                    p.last_res_state[tsel, 1] = RES_IN
+            self.statistics["n_points_activated"] += len(slots)
 
     def _kf_pre(self, frame):
         st = self._kf_stage1(frame)
