@@ -34,9 +34,14 @@ if [ "$STAGE" = ref ] || [ "$STAGE" = all ]; then
        output=/tmp/pds_$d/ref_nalo.txt > /tmp/ref_nalo_$d.log 2>&1 &
   done
   # reference photometric mode=0 (gamma+vignette undistortion active)
+  # lidar=0 keeps the run sparse, but masks=/color= must still be passed:
+  # the reference's getImage_internal unconditionally reads masks[id] and
+  # colors[id] (DatasetReader.h:296-313) and segfaults on empty folders,
+  # and setting_useLidar defaults to 1 (settings.cpp:34).
   [ -f /tmp/pds_photo/ref.txt ] || $R files=/tmp/pds_photo/images \
      calib=/tmp/pds_photo/camera.txt gamma=/tmp/pds_photo/pcalib.txt \
-     vignette=/tmp/pds_photo/vignette.png preset=0 mode=0 \
+     vignette=/tmp/pds_photo/vignette.png masks=/tmp/pds_photo/masks \
+     color=/tmp/pds_photo/colors preset=0 mode=0 lidar=0 \
      output=/tmp/pds_photo/ref.txt > /tmp/ref_photo.log 2>&1 &
   wait
 fi
