@@ -29,11 +29,21 @@ import time
 import numpy as np
 import jax
 
+# NALO_PLATFORM=cpu forces the CPU backend for this CLI run.  The env
+# var JAX_PLATFORMS is NOT sufficient here: the container's axon
+# sitecustomize registers the TPU plugin at interpreter start and wins
+# platform selection, so the switch must go through jax.config before
+# any backend initializes (same mechanism as tests/conftest.py).
+_plat = os.environ.get("NALO_PLATFORM", "")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 # persistent XLA compile cache (per platform): repeat CLI runs skip the
 # multi-minute first-compile cost on the tunneled device
 jax.config.update(
     "jax_compilation_cache_dir",
-    "/tmp/nalo_jax_cache_" + os.environ.get("JAX_PLATFORMS", "axon").split(",")[0],
+    "/tmp/nalo_jax_cache_"
+    + (_plat or os.environ.get("JAX_PLATFORMS", "axon").split(",")[0]),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -321,6 +321,40 @@ class FullSystem:
             iters=s.gn_its_on_point_activation, huber_th=s.huber_th,
             w_img=w0, h_img=h0, images_quad=self.window.quads)
         outs.append(out_act[0])
+        if s.use_device_opt and s.overlap_activation:
+            # the overlapped keyframe path's GN-with-activation-merge
+            # programs (one per compaction bucket + the full-P variant):
+            # without this warm they compile at first use MID-RUN -- tens
+            # of seconds each on the tunneled device -- which is exactly
+            # the stall class precompile exists to prevent
+            from ..backend import device_opt as D
+            from ..backend.energy import (_gn_bucket_ladder, _wo_gn_flat,
+                                          _wo_pts_static)
+            w_ = self.window
+            Pw = w_.P
+            act_flat0 = out_act[0]
+            imm0 = {k: self.imm_static[k]
+                    for k in ("u", "v", "color", "weights", "energy_th")}
+            A = self._ACT_A
+            z10 = np.zeros((F, 10), np.float32)
+            zF = np.zeros(F, np.float32)
+            rE = jnp.zeros((Pw, F), f32)
+            fl0, u80 = _wo_gn_flat(w_, z10, zF)
+            fn = D.make_gn_with_activation(s, F, Pw, M)
+            outs.append(fn(w_.images, w_.jstore, jnp.asarray(fl0),
+                           jnp.asarray(u80), _wo_pts_static(w_), rE,
+                           jnp.int32(1), jnp.int32(0), w_.quads,
+                           act_flat0, imm0, jnp.full(A, Pw, jnp.int32)))
+            rows0 = np.zeros(0, np.int64)
+            for b in _gn_bucket_ladder(Pw):
+                flc, u8c = _wo_gn_flat(w_, z10, zF, rows0, b)
+                fnb = D.make_gn_with_activation(s, F, Pw, M, b)
+                outs.append(fnb(
+                    w_.images, w_.jstore, jnp.asarray(flc),
+                    jnp.asarray(u8c), jnp.full(b, Pw, jnp.int32),
+                    _wo_pts_static(w_), rE, jnp.int32(1), jnp.int32(0),
+                    w_.quads, act_flat0, imm0,
+                    jnp.full(A, b, jnp.int32)))
         # immature-store maintenance programs
         st = ImmatureStore(M)
         new_static = dict(
