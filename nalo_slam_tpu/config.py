@@ -298,6 +298,10 @@ def parse_kv_args(argv: list[str], base: Settings | None = None) -> tuple[Settin
             s = s.replace(plane_reopt_iters=int(v))
         elif k == "overlapAct":
             s = s.replace(overlap_activation=bool(int(v)))
+        elif k == "deviceOpt":
+            # 0 routes the window BA through the f64 host oracle
+            # (energy.optimize) -- a solver-path A/B for divergence hunts
+            s = s.replace(use_device_opt=bool(int(v)))
         elif k == "densemap":
             s = s.replace(dense_mapping=bool(int(v)))
         elif k == "tsdf":
