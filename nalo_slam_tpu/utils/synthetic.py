@@ -93,3 +93,66 @@ class GroundWallScene:
         idepth = 1.0 / s
         mask = np.where(ground_hit, 230.0, 100.0).astype(np.float32)
         return img.astype(np.float32), idepth.astype(np.float32), mask
+
+
+class MultiPlaneScene:
+    """Ground + back wall + two side walls, each with a distinct MP-mask
+    label.  Four-surface analytic corridor: enough mask clusters to pass
+    the dense frontend's >=4-cluster gate (reference makeMaskDistMap
+    duplicate-value clustering, CoarseTracker.cpp:185-290), with the
+    ground labeled >=200 so it is ground-score-eligible
+    (fitPlane :362-374).  The 2-label GroundWallScene keeps the
+    plane/rescale machinery inert in both binaries (see PARITY.md
+    round-5 notes); this scene exists to exercise it end-to-end.
+
+    Labels: ground 230, back wall 100, left wall 120, right wall 140."""
+
+    def __init__(self, calib: PyramidCalib, y0: float = 1.5,
+                 z_wall: float = 30.0, x_wall: float = 6.0):
+        self.calib = calib
+        self.y0 = y0
+        self.z_wall = z_wall
+        self.x_wall = x_wall
+
+    def render(self, cam_to_world: SE3):
+        c = self.calib
+        w, h = c.w[0], c.h[0]
+        u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                           np.arange(h, dtype=np.float64))
+        d = np.stack([(u - c.cx[0]) / c.fx[0], (v - c.cy[0]) / c.fy[0],
+                      np.ones_like(u)], axis=-1)
+        R, t = cam_to_world.R, cam_to_world.t
+        dw = d @ R.T
+
+        def hit(num, comp):
+            return np.where(np.abs(dw[..., comp]) > 1e-9,
+                            num / dw[..., comp], np.inf)
+
+        cands = [
+            # (distance along ray, label, texture plane axes)
+            (hit(self.y0 - t[1], 1), 230.0, "ground"),
+            (hit(self.z_wall - t[2], 2), 100.0, "back"),
+            (hit(-self.x_wall - t[0], 0), 120.0, "left"),
+            (hit(self.x_wall - t[0], 0), 140.0, "right"),
+        ]
+        s = np.full((h, w), np.inf)
+        lab = np.zeros((h, w))
+        kind = np.zeros((h, w), dtype=int)
+        for i, (si, li, _) in enumerate(cands):
+            si = np.where(si > 0.1, si, np.inf)
+            better = si < s
+            s = np.where(better, si, s)
+            lab = np.where(better, li, lab)
+            kind = np.where(better, i, kind)
+        s = np.where(np.isfinite(s), s, 1e6)
+        X = t[0] + s * dw[..., 0]
+        Y = t[1] + s * dw[..., 1]
+        Z = t[2] + s * dw[..., 2]
+        img = np.select(
+            [kind == 0, kind == 1, kind == 2, kind == 3],
+            [texture(X, Z), texture(X, Y) * 0.9 + 10,
+             texture(Z, Y) * 0.85 + 18, texture(Z, Y) * 0.95 + 4],
+        )
+        idepth = (1.0 / s).astype(np.float32)
+        return (img.astype(np.float32), idepth,
+                lab.astype(np.float32))

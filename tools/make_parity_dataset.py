@@ -18,11 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import cv2  # noqa: E402
 
 from nalo_slam_tpu.geometry import SE3  # noqa: E402
-from nalo_slam_tpu.utils.synthetic import GroundWallScene, default_calib  # noqa: E402
+from nalo_slam_tpu.utils.synthetic import (GroundWallScene, MultiPlaneScene,  # noqa: E402
+                                           default_calib)
 
 
 def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
-         amp_a=0.08, amp_b=3.0, noise=1.2, gamma=0.0, vignette=0):
+         amp_a=0.08, amp_b=3.0, noise=1.2, gamma=0.0, vignette=0,
+         scene="groundwall"):
     """gamma>0 / vignette=1 emit a photometrically-distorted sequence plus
     the calibration files that undo it (pcalib.txt response samples +
     16-bit vignette.png), exercising the reference's mode=0 path
@@ -35,7 +37,14 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
     # (DatasetReader.h:305); 3-channel copies of the gray render suffice
     os.makedirs(f"{outdir}/colors", exist_ok=True)
     calib = default_calib(w, h)
-    scene = GroundWallScene(calib, y0=1.5, z_wall=30.0)
+    multi = scene == "multi"
+    # corridor: side walls at +-6 are visible from the start (a wall at
+    # lateral distance d enters the frustum at depth ~d/tan(halfFOV)
+    # ~= 1.56 d ~= 9.4, inside the 60-deep corridor); the trajectory
+    # below keeps the camera within +-2 of the centerline
+    scene = (MultiPlaneScene(calib, y0=1.5, z_wall=60.0, x_wall=6.0)
+             if multi else
+             GroundWallScene(calib, y0=1.5, z_wall=30.0))
     rng = np.random.default_rng(seed)
     vmap_f = None
     if vignette:
@@ -60,16 +69,30 @@ def make(outdir="/tmp/pds", frames=350, w=320, h=240, seed=3,
             f.write(" ".join(f"{v:.6f}" for v in inv) + "\n")
     poses = []
     for k in range(frames):
-        xi = np.array(
-            [
-                0.05 * k + 0.3 * np.sin(0.05 * k),   # lateral (init parallax)
-                0.02 * np.sin(0.11 * k),             # small vertical bob
-                0.03 * k,                            # slow approach to the wall
-                0.004 * np.sin(0.07 * k),            # pitch wiggle
-                0.006 * np.sin(0.045 * k),           # yaw wiggle
-                0.002 * np.sin(0.09 * k),            # roll wiggle
-            ]
-        )
+        if multi:
+            # down-the-corridor drive: gentle slalom between the side
+            # walls, forward 0.1/frame (KITTI-like), slight bob/yaw
+            xi = np.array(
+                [
+                    2.0 * np.sin(0.05 * k),          # lateral slalom (+-2)
+                    0.02 * np.sin(0.11 * k),         # small vertical bob
+                    0.1 * k,                         # forward drive
+                    0.004 * np.sin(0.07 * k),        # pitch wiggle
+                    0.006 * np.sin(0.045 * k),       # yaw wiggle
+                    0.002 * np.sin(0.09 * k),        # roll wiggle
+                ]
+            )
+        else:
+            xi = np.array(
+                [
+                    0.05 * k + 0.3 * np.sin(0.05 * k),   # lateral (init parallax)
+                    0.02 * np.sin(0.11 * k),             # small vertical bob
+                    0.03 * k,                            # slow approach to the wall
+                    0.004 * np.sin(0.07 * k),            # pitch wiggle
+                    0.006 * np.sin(0.045 * k),           # yaw wiggle
+                    0.002 * np.sin(0.09 * k),            # roll wiggle
+                ]
+            )
         T = SE3.exp(xi)
         poses.append(np.concatenate([T.t, T.log()[3:]]))
         img, _idep, mask = scene.render(T)
@@ -119,4 +142,5 @@ if __name__ == "__main__":
          w=int(kv.get("w", "320")), h=int(kv.get("h", "240")),
          amp_a=float(kv.get("amp_a", "0.08")), amp_b=float(kv.get("amp_b", "3.0")),
          noise=float(kv.get("noise", "1.2")), gamma=float(kv.get("gamma", "0")),
-         vignette=int(kv.get("vignette", "0")))
+         vignette=int(kv.get("vignette", "0")),
+         scene=kv.get("scene", "groundwall"))
